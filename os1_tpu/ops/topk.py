@@ -1,0 +1,67 @@
+"""Spatially-balanced keypoint selection: the octree-distribution equivalent.
+
+The reference balances features with a recursive quadtree
+(ORBextractor::DistributeOctTree, ORBextractor.cc:571-795): it repeatedly
+splits occupied cells and finally keeps the best corner per leaf, so strong
+corners can't crowd into one image region. That algorithm is branchy and
+pointer-based; the output contract — "spread keypoints across the image,
+preferring per-region maxima, fill remaining budget by response" — is
+reproduced here with a fixed cell grid + rank-major selection:
+
+  1. per cell of CxC pixels take the top-k responses;
+  2. order all candidates by (rank within cell, -response): every cell's
+     best corner is considered before any cell's second-best;
+  3. keep the first n_out.
+
+Rank-major order IS the octree property: a region only contributes its
+second point after every occupied region contributed its first.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def balanced_cell_topk(
+    scores: jnp.ndarray, cell: int, k_per_cell: int, n_out: int
+):
+    """Select up to n_out balanced keypoints from a dense score map.
+
+    scores: [H, W] float32, zero where no corner (post-NMS).
+    Returns (xy [n_out, 2] float32 (x, y), resp [n_out], valid [n_out] bool),
+    rank-major spatially balanced, padded with valid=False.
+    """
+    h, w = scores.shape
+    ph = (cell - h % cell) % cell
+    pw = (cell - w % cell) % cell
+    s = jnp.pad(scores, ((0, ph), (0, pw)))
+    hc, wc = s.shape[0] // cell, s.shape[1] // cell
+    cells = s.reshape(hc, cell, wc, cell).transpose(0, 2, 1, 3).reshape(hc * wc, cell * cell)
+
+    top_s, top_i = jax.lax.top_k(cells, k_per_cell)  # [M, k]
+    cy = jax.lax.broadcasted_iota(jnp.int32, (hc * wc, k_per_cell), 0) // wc
+    cx = jax.lax.broadcasted_iota(jnp.int32, (hc * wc, k_per_cell), 0) % wc
+    iy = top_i // cell
+    ix = top_i % cell
+    ys = cy * cell + iy
+    xs = cx * cell + ix
+    rank = jax.lax.broadcasted_iota(jnp.int32, (hc * wc, k_per_cell), 1)
+
+    flat_s = top_s.reshape(-1)
+    flat_y = ys.reshape(-1)
+    flat_x = xs.reshape(-1)
+    flat_r = rank.reshape(-1)
+    valid = flat_s > 0.0
+
+    # Rank-major key: lower rank first, then higher response. Invalid lanes
+    # sort last.
+    big = jnp.float32(1e9)
+    key = jnp.where(valid, flat_r.astype(jnp.float32) * big - flat_s, jnp.inf)
+    order = jnp.argsort(key)[:n_out]
+
+    out_xy = jnp.stack(
+        [flat_x[order].astype(jnp.float32), flat_y[order].astype(jnp.float32)], axis=-1
+    )
+    out_s = flat_s[order]
+    out_valid = valid[order]
+    return out_xy, out_s, out_valid

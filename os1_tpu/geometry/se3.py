@@ -42,6 +42,16 @@ def vee(M: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([M[..., 2, 1], M[..., 0, 2], M[..., 1, 0]], axis=-1)
 
 
+def _safe_norm(v):
+    """||v|| with a well-defined (zero) gradient at v = 0.
+
+    jnp.linalg.norm's gradient is NaN at zero, which poisons jacfwd through
+    exp() at the identity — exactly where optimizers linearize.
+    """
+    sq = jnp.sum(v * v, axis=-1)
+    return jnp.sqrt(sq + 1e-37)
+
+
 def _sinc(theta):
     """sin(theta)/theta with Taylor fallback near 0."""
     small = jnp.abs(theta) < 1e-4
@@ -58,7 +68,7 @@ def _cosc(theta):
 
 def so3_exp(phi: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues formula: (..., 3) axis-angle -> (..., 3, 3) rotation."""
-    theta = jnp.linalg.norm(phi, axis=-1)
+    theta = _safe_norm(phi)
     K = hat(phi)
     K2 = K @ K
     a = _sinc(theta)[..., None, None]
@@ -94,7 +104,7 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
 
 def _left_jacobian(phi: jnp.ndarray) -> jnp.ndarray:
     """SO(3) left Jacobian V: exp([rho;phi]) translation = V @ rho."""
-    theta = jnp.linalg.norm(phi, axis=-1)
+    theta = _safe_norm(phi)
     K = hat(phi)
     K2 = K @ K
     small = theta < 1e-4
@@ -108,7 +118,7 @@ def _left_jacobian(phi: jnp.ndarray) -> jnp.ndarray:
 
 
 def _left_jacobian_inv(phi: jnp.ndarray) -> jnp.ndarray:
-    theta = jnp.linalg.norm(phi, axis=-1)
+    theta = _safe_norm(phi)
     K = hat(phi)
     K2 = K @ K
     small = theta < 1e-4

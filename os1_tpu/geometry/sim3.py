@@ -94,7 +94,7 @@ def _coeffs(theta, sigma):
 def exp(xi: jnp.ndarray) -> jnp.ndarray:
     """Sim(3) exponential: (..., 7) [rho, phi, sigma] -> (..., 4, 4)."""
     rho, phi, sigma = xi[..., :3], xi[..., 3:6], xi[..., 6]
-    theta = jnp.linalg.norm(phi, axis=-1)
+    theta = se3._safe_norm(phi)
     K = se3.hat(phi)
     K2 = K @ K
     A, B, C = _coeffs(theta, sigma)
@@ -110,7 +110,7 @@ def log(S: jnp.ndarray) -> jnp.ndarray:
     R, t, s = to_Rts(S)
     sigma = jnp.log(s)
     phi = se3.so3_log(R)
-    theta = jnp.linalg.norm(phi, axis=-1)
+    theta = se3._safe_norm(phi)
     K = se3.hat(phi)
     K2 = K @ K
     A, B, C = _coeffs(theta, sigma)

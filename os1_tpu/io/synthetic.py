@@ -1,0 +1,151 @@
+"""Synthetic textured-scene renderer: ground-truth image sequences for
+end-to-end pipeline tests and benchmarks.
+
+The reference's de-facto regression mechanism is deterministic video replay
+(SURVEY.md §4); with no camera or dataset available, this renderer is the
+equivalent: known geometry + known trajectory -> images, so ATE can be
+asserted against exact ground truth.
+
+Scene model: N textured planes in world space. Per camera pose, each pixel's
+ray is intersected with every plane; the nearest positive hit samples that
+plane's texture bilinearly. Pure numpy, vectorized per plane.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class TexturedPlane:
+    origin: np.ndarray  # [3] a point on the plane (texture (0,0))
+    u_axis: np.ndarray  # [3] in-plane axis, |u| = world width of texture
+    v_axis: np.ndarray  # [3] in-plane axis
+    texture: np.ndarray  # [Ht, Wt] float32 intensities
+
+
+def smooth_texture(h, w, cells, lo=20.0, hi=235.0, seed=0):
+    """Band-limited random texture with strong corners at every scale."""
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(lo, hi, size=(cells, cells)).astype(np.float32)
+    try:
+        import cv2
+
+        return np.clip(cv2.resize(base, (w, h), interpolation=cv2.INTER_CUBIC), 0, 255)
+    except ImportError:  # nearest-neighbor fallback
+        ys = (np.arange(h) * cells // h).clip(0, cells - 1)
+        xs = (np.arange(w) * cells // w).clip(0, cells - 1)
+        return base[ys][:, xs]
+
+
+def default_scene(seed=0) -> list[TexturedPlane]:
+    """Two fronto-parallel planes at different depths + a floor: general
+    (non-planar) structure so initialization takes the fundamental path."""
+    t1 = smooth_texture(512, 512, 48, seed=seed)
+    t2 = smooth_texture(512, 512, 40, seed=seed + 1)
+    t3 = smooth_texture(512, 512, 56, seed=seed + 2)
+    return [
+        TexturedPlane(
+            origin=np.array([-4.0, -3.0, 8.0]),
+            u_axis=np.array([8.0, 0.0, 0.0]),
+            v_axis=np.array([0.0, 6.0, 0.0]),
+            texture=t1,
+        ),
+        TexturedPlane(
+            origin=np.array([-5.0, -3.5, 12.0]),
+            u_axis=np.array([10.0, 0.0, 0.0]),
+            v_axis=np.array([0.0, 7.0, 0.0]),
+            texture=t2,
+        ),
+        TexturedPlane(  # floor
+            origin=np.array([-5.0, 2.0, 4.0]),
+            u_axis=np.array([10.0, 0.0, 0.0]),
+            v_axis=np.array([0.0, 0.5, 9.0]),
+            texture=t3,
+        ),
+    ]
+
+
+def render(scene, Tcw: np.ndarray, K: np.ndarray, h: int, w: int,
+           background: float = 10.0) -> np.ndarray:
+    """Render one grayscale frame [h, w] float32 from camera pose Tcw."""
+    R = Tcw[:3, :3]
+    t = Tcw[:3, 3]
+    C = -R.T @ t  # camera center (world)
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
+    d_cam = np.stack(
+        [(xs - K[0, 2]) / K[0, 0], (ys - K[1, 2]) / K[1, 1], np.ones_like(xs)], axis=-1
+    )
+    d_world = d_cam @ R  # R^T @ d per pixel
+
+    img = np.full((h, w), background, np.float64)
+    depth = np.full((h, w), np.inf)
+    for plane in scene:
+        n = np.cross(plane.u_axis, plane.v_axis)
+        denom = d_world @ n
+        tt = ((plane.origin - C) @ n) / np.where(np.abs(denom) < 1e-12, 1e-12, denom)
+        hit = C + tt[..., None] * d_world
+        rel = hit - plane.origin
+        uu = rel @ plane.u_axis / (plane.u_axis @ plane.u_axis)
+        vv = rel @ plane.v_axis / (plane.v_axis @ plane.v_axis)
+        ok = (tt > 0.05) & (uu >= 0) & (uu < 1) & (vv >= 0) & (vv < 1) & (tt < depth)
+        th, tw = plane.texture.shape
+        px = np.clip(uu * (tw - 1), 0, tw - 1.001)
+        py = np.clip(vv * (th - 1), 0, th - 1.001)
+        x0 = px.astype(int)
+        y0 = py.astype(int)
+        fx = px - x0
+        fy = py - y0
+        tex = plane.texture
+        val = (
+            tex[y0, x0] * (1 - fx) * (1 - fy)
+            + tex[y0, np.minimum(x0 + 1, tw - 1)] * fx * (1 - fy)
+            + tex[np.minimum(y0 + 1, th - 1), x0] * (1 - fx) * fy
+            + tex[np.minimum(y0 + 1, th - 1), np.minimum(x0 + 1, tw - 1)] * fx * fy
+        )
+        img = np.where(ok, val, img)
+        depth = np.where(ok, tt, depth)
+    return img.astype(np.float32)
+
+
+def orbit_trajectory(n_frames: int, radius: float = 0.04,
+                     advance: float = 0.06) -> list[np.ndarray]:
+    """Sideways-dominant smooth trajectory with small rotations: good
+    parallax for initialization, realistic for handheld motion.
+    Returns a list of Tcw matrices (world = first-camera frame)."""
+    from scipy.spatial.transform import Rotation
+
+    poses = []
+    for i in range(n_frames):
+        s = i / max(n_frames - 1, 1)
+        pos = np.array(
+            [advance * i, radius * np.sin(2 * np.pi * s), 0.15 * np.sin(np.pi * s)]
+        )
+        yaw = -0.15 * s  # slowly turn toward the scene
+        Rwc = Rotation.from_euler("yxz", [yaw, 0.02 * np.sin(4 * s), 0.0]).as_matrix()
+        Tcw = np.eye(4)
+        Tcw[:3, :3] = Rwc.T
+        Tcw[:3, 3] = -Rwc.T @ pos
+        poses.append(Tcw.astype(np.float32))
+    return poses
+
+
+def ate_rmse(est: list[np.ndarray], gt: list[np.ndarray]) -> float:
+    """Absolute trajectory error after Sim3 (Umeyama) alignment — the
+    standard monocular evaluation (scale is unobservable)."""
+    pe = np.array([-T[:3, :3].T @ T[:3, 3] for T in est])
+    pg = np.array([-T[:3, :3].T @ T[:3, 3] for T in gt])
+    mu_e, mu_g = pe.mean(0), pg.mean(0)
+    ec, gc = pe - mu_e, pg - mu_g
+    cov = gc.T @ ec / len(pe)
+    U, d, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1
+    R = U @ S @ Vt
+    var_e = (ec**2).sum() / len(pe)
+    scale = np.trace(np.diag(d) @ S) / max(var_e, 1e-12)
+    t = mu_g - scale * R @ mu_e
+    aligned = (scale * (R @ pe.T)).T + t
+    return float(np.sqrt(((aligned - pg) ** 2).sum(-1).mean()))

@@ -1,0 +1,304 @@
+"""Struct-of-arrays map store: the TPU-native replacement for the reference's
+pointer-graph map model (Map / KeyFrame / MapPoint, reference Map.h:153-156,
+KeyFrame.h, MapPoint.h).
+
+Design stance (SURVEY.md §7): fixed-capacity, padded, masked arrays instead
+of a mutex-guarded object web.
+
+  * keyframes  -> slots [K]: pose, per-feature arrays [K, N], liveness mask
+  * map points -> slots [P]: position, distinctive descriptor, normal,
+                  scale-invariance range, tracking stats, liveness mask
+  * observations (KF, feature) <-> point are stored BOTH ways:
+      - kf_obs_point [K, N]: point id per feature slot (-1 = unbound), the
+        equivalent of Frame::mvpMapPoints;
+      - pt_obs_kf / pt_obs_feat [P, M]: up to M observing keyframes per
+        point (the MapPoint::mObservations map) — this is exactly the
+        grouped-by-point layout the Schur BA consumes.
+  * covisibility (KeyFrame::UpdateConnections, KeyFrame.cc:303-402) is not
+    stored: it is recomputed on demand as one boolean matmul over the
+    observation table — see :func:`covisibility_weights`.
+
+The store lives on host as numpy (cheap bookkeeping, no recompilation on
+growth); heavy compute pulls device views of the slices it needs. Liveness
+masks replace SetBadFlag lifecycles: culling = clearing a mask bit +
+releasing the slot to a free list.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class MapConfig:
+    max_keyframes: int = 256
+    max_points: int = 16384
+    n_features: int = 1024  # feature slots per keyframe (== OrbConfig.n_features)
+    max_obs_per_point: int = 16
+
+
+@dataclass
+class MapStore:
+    cfg: MapConfig
+
+    # --- keyframes ---
+    kf_T: np.ndarray = field(init=False)  # [K, 4, 4] Tcw
+    kf_valid: np.ndarray = field(init=False)  # [K] bool
+    kf_frame_id: np.ndarray = field(init=False)  # [K] int64 source frame id
+    kf_timestamp: np.ndarray = field(init=False)  # [K] float64
+    kf_xy: np.ndarray = field(init=False)  # [K, N, 2] undistorted keypoint coords
+    kf_angle: np.ndarray = field(init=False)  # [K, N]
+    kf_octave: np.ndarray = field(init=False)  # [K, N] int32
+    kf_desc: np.ndarray = field(init=False)  # [K, N, 8] uint32
+    kf_feat_valid: np.ndarray = field(init=False)  # [K, N] bool
+    kf_obs_point: np.ndarray = field(init=False)  # [K, N] int32, -1 = unbound
+
+    # --- map points ---
+    pt_xyz: np.ndarray = field(init=False)  # [P, 3]
+    pt_valid: np.ndarray = field(init=False)  # [P] bool
+    pt_desc: np.ndarray = field(init=False)  # [P, 8] distinctive descriptor
+    pt_normal: np.ndarray = field(init=False)  # [P, 3] mean viewing direction
+    pt_min_dist: np.ndarray = field(init=False)  # [P] scale-invariance range
+    pt_max_dist: np.ndarray = field(init=False)
+    pt_obs_kf: np.ndarray = field(init=False)  # [P, M] int32, -1 pad
+    pt_obs_feat: np.ndarray = field(init=False)  # [P, M] int32
+    pt_n_obs: np.ndarray = field(init=False)  # [P] int32
+    pt_visible: np.ndarray = field(init=False)  # [P] int32 (frustum appearances)
+    pt_found: np.ndarray = field(init=False)  # [P] int32 (tracked appearances)
+    pt_first_kf: np.ndarray = field(init=False)  # [P] int32 creating keyframe
+    pt_color: np.ndarray = field(init=False)  # [P, 3] uint8 (os1 colored points)
+    pt_far: np.ndarray = field(init=False)  # [P] bool quasi-infinity flag
+
+    def __post_init__(self):
+        K, P, N, M = (
+            self.cfg.max_keyframes,
+            self.cfg.max_points,
+            self.cfg.n_features,
+            self.cfg.max_obs_per_point,
+        )
+        self.kf_T = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+        self.kf_valid = np.zeros(K, bool)
+        self.kf_frame_id = np.zeros(K, np.int64)
+        self.kf_timestamp = np.zeros(K, np.float64)
+        self.kf_xy = np.zeros((K, N, 2), np.float32)
+        self.kf_angle = np.zeros((K, N), np.float32)
+        self.kf_octave = np.zeros((K, N), np.int32)
+        self.kf_desc = np.zeros((K, N, 8), np.uint32)
+        self.kf_feat_valid = np.zeros((K, N), bool)
+        self.kf_obs_point = np.full((K, N), -1, np.int32)
+
+        self.pt_xyz = np.zeros((P, 3), np.float32)
+        self.pt_valid = np.zeros(P, bool)
+        self.pt_desc = np.zeros((P, 8), np.uint32)
+        self.pt_normal = np.zeros((P, 3), np.float32)
+        self.pt_min_dist = np.zeros(P, np.float32)
+        self.pt_max_dist = np.full(P, np.inf, np.float32)
+        self.pt_obs_kf = np.full((P, M), -1, np.int32)
+        self.pt_obs_feat = np.full((P, M), -1, np.int32)
+        self.pt_n_obs = np.zeros(P, np.int32)
+        self.pt_visible = np.zeros(P, np.int32)
+        self.pt_found = np.zeros(P, np.int32)
+        self.pt_first_kf = np.zeros(P, np.int32)
+        self.pt_color = np.zeros((P, 3), np.uint8)
+        self.pt_far = np.zeros(P, bool)
+
+    # ------------------------------------------------------------------ #
+    # allocation / lifecycle
+    # ------------------------------------------------------------------ #
+    def n_keyframes(self) -> int:
+        return int(self.kf_valid.sum())
+
+    def n_points(self) -> int:
+        return int(self.pt_valid.sum())
+
+    def alloc_keyframe(self) -> int:
+        free = np.nonzero(~self.kf_valid)[0]
+        if len(free) == 0:
+            raise RuntimeError("keyframe capacity exhausted")
+        k = int(free[0])
+        self.kf_valid[k] = True
+        return k
+
+    def alloc_points(self, count: int) -> np.ndarray:
+        free = np.nonzero(~self.pt_valid)[0][:count]
+        if len(free) < count:
+            raise RuntimeError("map point capacity exhausted")
+        self.pt_valid[free] = True
+        return free
+
+    def add_keyframe(self, Tcw, feats_xy, feats_angle, feats_octave, feats_desc,
+                     feats_valid, frame_id=0, timestamp=0.0) -> int:
+        """Insert a keyframe from frame feature arrays. Returns its id."""
+        k = self.alloc_keyframe()
+        self.kf_T[k] = np.asarray(Tcw, np.float32)
+        self.kf_xy[k] = np.asarray(feats_xy, np.float32)
+        self.kf_angle[k] = np.asarray(feats_angle, np.float32)
+        self.kf_octave[k] = np.asarray(feats_octave, np.int32)
+        self.kf_desc[k] = np.asarray(feats_desc, np.uint32)
+        self.kf_feat_valid[k] = np.asarray(feats_valid, bool)
+        self.kf_obs_point[k] = -1
+        self.kf_frame_id[k] = frame_id
+        self.kf_timestamp[k] = timestamp
+        return k
+
+    def add_observation(self, pt: int, kf: int, feat: int) -> None:
+        """Bind point <-> (kf, feature) both ways (MapPoint::AddObservation +
+        Frame::mvpMapPoints assignment)."""
+        if self.kf_obs_point[kf, feat] == pt:
+            return
+        slot = self.pt_n_obs[pt]
+        if slot >= self.cfg.max_obs_per_point:
+            return  # observation table full: drop (rare; oldest stay)
+        self.pt_obs_kf[pt, slot] = kf
+        self.pt_obs_feat[pt, slot] = feat
+        self.pt_n_obs[pt] += 1
+        self.kf_obs_point[kf, feat] = pt
+
+    def remove_observation(self, pt: int, kf: int) -> None:
+        """Unbind a point from a keyframe (MapPoint::EraseObservation)."""
+        slots = self.pt_obs_kf[pt] == kf
+        for s in np.nonzero(slots)[0]:
+            f = self.pt_obs_feat[pt, s]
+            if f >= 0 and self.kf_obs_point[kf, f] == pt:
+                self.kf_obs_point[kf, f] = -1
+        n = self.pt_n_obs[pt]
+        keep = ~slots
+        kfs = self.pt_obs_kf[pt][keep]
+        fts = self.pt_obs_feat[pt][keep]
+        self.pt_obs_kf[pt] = -1
+        self.pt_obs_feat[pt] = -1
+        self.pt_obs_kf[pt, : len(kfs)] = kfs
+        self.pt_obs_feat[pt, : len(fts)] = fts
+        self.pt_n_obs[pt] = int((kfs >= 0).sum())
+        if self.pt_n_obs[pt] <= 1 and n > self.pt_n_obs[pt]:
+            # Degenerate point: reference cull rule (<=2 obs after erase).
+            pass  # caller decides culling
+
+    def cull_points(self, ids: np.ndarray) -> None:
+        """SetBadFlag for a batch of points: clear masks + unbind features."""
+        ids = np.asarray(ids, np.int64)
+        for p in ids:
+            for s in range(self.pt_n_obs[p]):
+                kf, f = self.pt_obs_kf[p, s], self.pt_obs_feat[p, s]
+                if kf >= 0 and f >= 0 and self.kf_obs_point[kf, f] == p:
+                    self.kf_obs_point[kf, f] = -1
+        self.pt_valid[ids] = False
+        self.pt_obs_kf[ids] = -1
+        self.pt_obs_feat[ids] = -1
+        self.pt_n_obs[ids] = 0
+        self.pt_visible[ids] = 0
+        self.pt_found[ids] = 0
+
+    def cull_keyframe(self, kf: int) -> None:
+        """SetBadFlag for a keyframe: release its observations and slot
+        (reference KeyFrame::SetBadFlag, KeyFrame.cc:478-613; spanning-tree
+        reparenting is implicit — parents are recomputed from covisibility)."""
+        pts = np.unique(self.kf_obs_point[kf][self.kf_obs_point[kf] >= 0])
+        for p in pts:
+            self.remove_observation(int(p), kf)
+        self.kf_valid[kf] = False
+        self.kf_feat_valid[kf] = False
+        self.kf_obs_point[kf] = -1
+
+    # ------------------------------------------------------------------ #
+    # derived structures
+    # ------------------------------------------------------------------ #
+    def covisibility_weights(self, kf: int) -> np.ndarray:
+        """[K] number of map points shared with every other keyframe
+        (KeyFrame::UpdateConnections weight counting, KeyFrame.cc:303-402).
+        Far points are excluded, as in the reference (KeyFrame.cc:320)."""
+        pts = self.kf_obs_point[kf]
+        pts = pts[(pts >= 0)]
+        pts = pts[self.pt_valid[pts] & ~self.pt_far[pts]]
+        w = np.zeros(self.cfg.max_keyframes, np.int32)
+        if len(pts) == 0:
+            return w
+        obs_kf = self.pt_obs_kf[pts]  # [n, M]
+        flat = obs_kf[obs_kf >= 0]
+        np.add.at(w, flat, 1)
+        w[kf] = 0
+        w[~self.kf_valid] = 0
+        return w
+
+    def covisible_keyframes(self, kf: int, min_weight: int = 15, top: int | None = None) -> np.ndarray:
+        """Sorted (desc weight) covisible keyframe ids with weight >= min
+        (reference th=15, KeyFrame.cc:341; falls back to the single best
+        neighbor when none clears the threshold, as the reference does)."""
+        w = self.covisibility_weights(kf)
+        ids = np.nonzero(w >= min_weight)[0]
+        if len(ids) == 0:
+            best = int(np.argmax(w))
+            ids = np.array([best]) if w[best] > 0 else np.array([], np.int64)
+        order = np.argsort(-w[ids], kind="stable")
+        ids = ids[order]
+        return ids[:top] if top is not None else ids
+
+    def update_point_derived(self, ids: np.ndarray, scale_factor: float, n_levels: int) -> None:
+        """Recompute derived per-point state after observation changes:
+        mean viewing normal + scale-invariance distances
+        (MapPoint::UpdateNormalAndDepth, MapPoint.cc:315-356) and the
+        distinctive descriptor (min-median-Hamming over observing features,
+        MapPoint::ComputeDistinctiveDescriptors, MapPoint.cc:227-293).
+
+        Fully vectorized over the id batch (runs per keyframe insertion)."""
+        ids = np.asarray(ids, np.int64)
+        ids = ids[self.pt_valid[ids] & (self.pt_n_obs[ids] > 0)]
+        if len(ids) == 0:
+            return
+        M = self.cfg.max_obs_per_point
+        kfs = self.pt_obs_kf[ids]  # [n, M]
+        fts = self.pt_obs_feat[ids]
+        live = (kfs >= 0) & self.kf_valid[np.clip(kfs, 0, None)]
+        has_live = live.any(1)
+        ids, kfs, fts, live = ids[has_live], kfs[has_live], fts[has_live], live[has_live]
+        if len(ids) == 0:
+            return
+        kfs_c = np.clip(kfs, 0, None)
+        fts_c = np.clip(fts, 0, None)
+
+        # Camera centers of all keyframes (once).
+        R = self.kf_T[:, :3, :3]
+        t = self.kf_T[:, :3, 3]
+        Ow = -np.einsum("kji,kj->ki", R, t)  # [K, 3]
+
+        rays = self.pt_xyz[ids][:, None, :] - Ow[kfs_c]  # [n, M, 3]
+        norms = np.linalg.norm(rays, axis=-1)
+        norms = np.where(norms < 1e-9, 1e-9, norms)
+        unit = rays / norms[..., None]
+        w = live.astype(np.float32)
+        cnt = np.maximum(w.sum(1), 1.0)
+        self.pt_normal[ids] = (unit * w[..., None]).sum(1) / cnt[:, None]
+
+        # Scale band from the latest live observation per point.
+        slot_idx = np.where(live, np.arange(M)[None, :], -1)
+        last = slot_idx.max(1)  # [n]
+        last_c = np.clip(last, 0, None)
+        rr = np.arange(len(ids))
+        dist = norms[rr, last_c]
+        octv = self.kf_octave[kfs_c[rr, last_c], fts_c[rr, last_c]]
+        max_d = dist * (scale_factor ** octv.astype(np.float64))
+        self.pt_max_dist[ids] = max_d
+        self.pt_min_dist[ids] = max_d / (scale_factor ** (n_levels - 1))
+
+        # Distinctive descriptor: min median Hamming among live observations.
+        descs = self.kf_desc[kfs_c, fts_c]  # [n, M, 8] uint32
+        bits = np.unpackbits(
+            descs.view(np.uint8).reshape(len(ids), M, 32), axis=-1
+        )  # [n, M, 256]
+        d = (bits[:, :, None, :] != bits[:, None, :, :]).sum(-1).astype(np.float64)
+        pair_live = live[:, :, None] & live[:, None, :]
+        d = np.where(pair_live, d, np.nan)
+        d[:, np.arange(M), np.arange(M)] = np.where(live, 0.0, np.nan)
+        with np.errstate(all="ignore"):
+            med = np.nanmedian(d, axis=2)  # [n, M]
+        med = np.where(live, med, np.inf)
+        best = np.argmin(med, axis=1)
+        self.pt_desc[ids] = descs[rr, best]
+
+    def point_positions_mask(self):
+        return self.pt_xyz, self.pt_valid
+
+    def tracked_points_in_kf(self, kf: int) -> np.ndarray:
+        pts = self.kf_obs_point[kf]
+        return np.unique(pts[pts >= 0])

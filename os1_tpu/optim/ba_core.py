@@ -78,8 +78,15 @@ def _cost_only(prob: BAProblem, cam_T, points, active):
     return _per_obs_terms(prob, cam_T, points, active)[4]
 
 
-def _schur_step(prob: BAProblem, cam_T, points, active, lam):
-    """One damped GN step via Schur complement. Returns (new cam_T, new points)."""
+def assemble_reduced(prob: BAProblem, cam_T, points, active, lam):
+    """Build the point-marginalized (Schur-reduced) camera system from this
+    problem's observations.
+
+    Returns (S [C, C, 6, 6], b_red [C, 6], H_pp_inv [P, 3, 3], W [P, O, 6, 3],
+    b_p [P, 3]). Every output except S/b_red is per-point; S and b_red are
+    SUMS over points — which is exactly what makes the distributed version a
+    psum over point shards (parallel/dist_ba.py).
+    """
     C = cam_T.shape[0]
     P, O = prob.obs_valid.shape
     r, J_c, J_p, w, _ = _per_obs_terms(prob, cam_T, points, active)
@@ -120,7 +127,13 @@ def _schur_step(prob: BAProblem, cam_T, points, active, lam):
         jnp.einsum("poij,pj->poi", Y, b_p).reshape(P * O, 6)
     )
     b_red = b_c - corr
+    return S, b_red, H_pp_inv, W, b_p
 
+
+def solve_cameras(S, b_red, cam_fixed, lam):
+    """Damp, project out fixed cameras, and densely solve the reduced
+    system. Returns delta_c [C, 6]."""
+    C = S.shape[0]
     # Damping on camera diagonal blocks.
     diag = S[jnp.arange(C), jnp.arange(C)]  # [C, 6, 6]
     S = S.at[jnp.arange(C), jnp.arange(C)].add(
@@ -130,7 +143,7 @@ def _schur_step(prob: BAProblem, cam_T, points, active, lam):
     )
 
     # Project out fixed cameras: zero rows/cols, identity diagonal.
-    free = ~prob.cam_fixed
+    free = ~cam_fixed
     mask2 = free[:, None] & free[None, :]
     S = jnp.where(mask2[:, :, None, None], S, 0.0)
     S = S.at[jnp.arange(C), jnp.arange(C)].add(
@@ -143,14 +156,22 @@ def _schur_step(prob: BAProblem, cam_T, points, active, lam):
     delta_c = -jnp.linalg.solve(
         S_full + 1e-9 * jnp.eye(C * 6, dtype=S_full.dtype), b_red.reshape(-1)
     ).reshape(C, 6)
-    delta_c = jnp.where(free[:, None], delta_c, 0.0)
+    return jnp.where(free[:, None], delta_c, 0.0)
 
-    # Back-substitute landmarks: H_pp dp = -(b_p + sum_o W^T dc).
-    dc_per_obs = delta_c[cam_idx]  # [P, O, 6]
+
+def backsub_points(prob: BAProblem, delta_c, H_pp_inv, W, b_p):
+    """Back-substitute landmark updates: H_pp dp = -(b_p + sum_o W^T dc)."""
+    dc_per_obs = delta_c[prob.obs_cam]  # [P, O, 6]
     wtd = jnp.einsum("poij,poi->pj", W, dc_per_obs)  # [P, 3]
     delta_p = -jnp.einsum("pij,pj->pi", H_pp_inv, b_p + wtd)
-    delta_p = jnp.where(pv[:, None], delta_p, 0.0)
+    return jnp.where(prob.point_valid[:, None], delta_p, 0.0)
 
+
+def _schur_step(prob: BAProblem, cam_T, points, active, lam):
+    """One damped GN step via Schur complement. Returns (new cam_T, new points)."""
+    S, b_red, H_pp_inv, W, b_p = assemble_reduced(prob, cam_T, points, active, lam)
+    delta_c = solve_cameras(S, b_red, prob.cam_fixed, lam)
+    delta_p = backsub_points(prob, delta_c, H_pp_inv, W, b_p)
     cam_T_new = se3.exp_batch(delta_c) @ cam_T
     points_new = points + delta_p
     return cam_T_new, points_new

@@ -1,0 +1,237 @@
+"""Local mapping back-end: point culling, new-point triangulation, local BA.
+
+The reference's LocalMapping thread (LocalMapping.cc:46-110) run synchronously
+per keyframe in this minimal pipeline (the host pipelining that restores the
+reference's tracking/mapping overlap is an orchestration concern — the device
+programs are identical either way).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..map.store import MapStore
+from ..optim import BAProblem, run_ba
+from . import tracking_kernels as tk
+from .config import SlamConfig
+
+P_BA = 8192  # padded point capacity of the local-BA problem
+C_BA = 64  # padded camera capacity
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "recls"))
+def _run_ba_jit(prob, iters, recls):
+    return run_ba(prob, iters=iters, reclassify_and_continue=recls)
+
+
+@dataclass
+class LocalMapper:
+    cfg: SlamConfig
+    store: MapStore
+
+    def process(self, kf: int, bootstrap: bool = False) -> None:
+        """Full local-mapping pass for a newly inserted keyframe
+        (LocalMapping::Run body, LocalMapping.cc:58-88)."""
+        if bootstrap:
+            return  # the initial map was just globally optimized
+        self.cull_recent_points(kf)
+        self.create_new_points(kf)
+        self.local_ba(kf)
+
+    # ------------------------------------------------------------------ #
+    def cull_recent_points(self, kf: int) -> None:
+        """MapPointCulling (LocalMapping.cc:155-186): drop points with poor
+        found/visible ratio or too few observations soon after creation."""
+        st = self.store
+        th = self.cfg.th
+        recent = st.pt_valid & (st.pt_first_kf >= kf - 3)
+        ratio_bad = recent & (st.pt_visible > 0) & (
+            st.pt_found < th.point_cull_found_ratio * st.pt_visible
+        )
+        age = kf - st.pt_first_kf
+        obs_bad = recent & (age >= 2) & (st.pt_n_obs <= 2)
+        bad = np.nonzero(ratio_bad | obs_bad)[0]
+        if len(bad):
+            st.cull_points(bad)
+
+    # ------------------------------------------------------------------ #
+    def create_new_points(self, kf: int) -> None:
+        """Triangulate new map points against covisible neighbors
+        (LocalMapping::CreateNewMapPoints, LocalMapping.cc:188-367)."""
+        st = self.store
+        cfg = self.cfg
+        neighbors = st.covisible_keyframes(
+            kf, top=cfg.th.triangulation_neighbors
+        )
+        if len(neighbors) == 0:
+            return
+
+        bound = st.kf_obs_point[kf] >= 0
+        # Median depth of the new keyframe's own points for the baseline gate.
+        own = st.kf_obs_point[kf]
+        own = np.unique(own[own >= 0])
+        if len(own) == 0:
+            return
+        md = float(
+            tk.compute_median_depth(
+                jnp.asarray(st.kf_T[kf]),
+                jnp.asarray(st.pt_xyz),
+                jnp.asarray(st.pt_valid & np.isin(np.arange(st.cfg.max_points), own)),
+            )
+        )
+
+        K = jnp.asarray(
+            np.array(
+                [
+                    [cfg.intr[0], 0, cfg.intr[2]],
+                    [0, cfg.intr[1], cfg.intr[3]],
+                    [0, 0, 1],
+                ],
+                np.float32,
+            )
+        )
+        sigma2 = jnp.asarray(cfg.sigma2_table)
+
+        # Pad the neighbor list to a fixed batch (padding = the keyframe
+        # itself: zero baseline, auto-rejected) and triangulate against all
+        # neighbors in one device call.
+        NB = cfg.th.triangulation_neighbors
+        nbs = [int(n) for n in neighbors[:NB]]
+        pad = [kf] * (NB - len(nbs))
+        all_nb = np.array(nbs + pad, np.int64)
+        unbound_new = st.kf_feat_valid[kf] & (st.kf_obs_point[kf] < 0)
+        if unbound_new.sum() < 10:
+            return
+        unbound_nb = st.kf_feat_valid[all_nb] & (st.kf_obs_point[all_nb] < 0)
+
+        nb_idx, pts3, accepted, _ = tk.triangulate_with_neighbors_batch(
+            jnp.asarray(st.kf_T[kf]), jnp.asarray(st.kf_T[all_nb]),
+            jnp.asarray(st.kf_xy[kf]), jnp.asarray(st.kf_desc[kf]),
+            jnp.asarray(st.kf_angle[kf]), jnp.asarray(st.kf_octave[kf]),
+            jnp.asarray(unbound_new),
+            jnp.asarray(st.kf_xy[all_nb]), jnp.asarray(st.kf_desc[all_nb]),
+            jnp.asarray(st.kf_angle[all_nb]), jnp.asarray(st.kf_octave[all_nb]),
+            jnp.asarray(unbound_nb),
+            K, sigma2, jnp.float32(md),
+        )
+        acc = np.asarray(accepted)  # [NB, N]
+        nb_idx_np = np.asarray(nb_idx)
+        pts_np = np.asarray(pts3)
+        taken = np.zeros(acc.shape[1], bool)  # features already triangulated
+        for j, nb in enumerate(nbs):
+            feats = np.nonzero(acc[j] & ~taken)[0]
+            if len(feats) == 0:
+                continue
+            free = int((~st.pt_valid).sum())
+            feats = feats[: max(0, free)]
+            if len(feats) == 0:
+                break
+            taken[feats] = True
+            ids = st.alloc_points(len(feats))
+            st.pt_xyz[ids] = pts_np[j, feats]
+            st.pt_first_kf[ids] = kf
+            st.pt_desc[ids] = st.kf_desc[kf, feats]
+            for p, f in zip(ids, feats):
+                st.add_observation(int(p), kf, int(f))
+                st.add_observation(int(p), nb, int(nb_idx_np[j, f]))
+            st.update_point_derived(ids, cfg.orb.scale_factor, cfg.orb.n_levels)
+
+    # ------------------------------------------------------------------ #
+    def local_ba(self, kf: int) -> None:
+        """Assemble and solve the local BA problem
+        (Optimizer::LocalBundleAdjustment, Optimizer.cc:340-589): covisible
+        keyframes free, boundary observers fixed, 5+10 LM schedule, outlier
+        observations erased afterwards."""
+        st = self.store
+        cfg = self.cfg
+        local = [kf] + [
+            int(k) for k in st.covisible_keyframes(kf, top=cfg.th.local_ba_keyframes - 1)
+        ]
+        pts = st.kf_obs_point[local]
+        pts = np.unique(pts[pts >= 0])
+        pts = pts[st.pt_valid[pts]][:P_BA]
+        if len(pts) < 20:
+            return
+
+        # All observers of the local points.
+        obs_kf_all = st.pt_obs_kf[pts]
+        observers = np.unique(obs_kf_all[obs_kf_all >= 0])
+        boundary = [int(k) for k in observers if int(k) not in set(local)]
+        cams = local + boundary
+        cams = cams[:C_BA]
+        cam_slot = {c: i for i, c in enumerate(cams)}
+        n_local = len(local)
+        fixed = np.ones(C_BA, bool)
+        fixed[:n_local] = False
+        # Gauge: fix the oldest keyframe in the problem (the reference fixes
+        # boundary KFs + kf id 0; with no boundary the oldest local anchors).
+        oldest = min(cams)
+        fixed[cam_slot[oldest]] = True
+        if len(cams) > 1 and len(boundary) == 0:
+            # Monocular gauge also needs scale: fix the two oldest.
+            second = sorted(cams)[1]
+            fixed[cam_slot[second]] = True
+
+        P = len(pts)
+        M = st.cfg.max_obs_per_point
+        cam_T = np.tile(np.eye(4, dtype=np.float32), (C_BA, 1, 1))
+        for c, i in cam_slot.items():
+            cam_T[i] = st.kf_T[c]
+
+        okf = st.pt_obs_kf[pts]  # [P, M]
+        oft = st.pt_obs_feat[pts]
+        slot_lookup = np.full(st.cfg.max_keyframes, -1, np.int32)
+        for c, i in cam_slot.items():
+            slot_lookup[c] = i
+        okf_c = np.clip(okf, 0, None)
+        oft_c = np.clip(oft, 0, None)
+        slots = slot_lookup[okf_c]
+        valid = (okf >= 0) & (slots >= 0)
+
+        obs_cam = np.zeros((P_BA, M), np.int32)
+        obs_uv = np.zeros((P_BA, M, 2), np.float32)
+        obs_s2 = np.ones((P_BA, M), np.float32)
+        obs_valid = np.zeros((P_BA, M), bool)
+        obs_cam[:P] = np.where(valid, slots, 0)
+        obs_uv[:P] = st.kf_xy[okf_c, oft_c]
+        obs_s2[:P] = cfg.sigma2_table[st.kf_octave[okf_c, oft_c]]
+        obs_valid[:P] = valid
+
+        points = np.zeros((P_BA, 3), np.float32)
+        points[:P] = st.pt_xyz[pts]
+        pvalid = np.zeros(P_BA, bool)
+        pvalid[:P] = True
+
+        prob = BAProblem(
+            cam_T=jnp.asarray(cam_T),
+            cam_fixed=jnp.asarray(fixed),
+            points=jnp.asarray(points),
+            point_valid=jnp.asarray(pvalid),
+            obs_cam=jnp.asarray(obs_cam),
+            obs_uv=jnp.asarray(obs_uv),
+            obs_sigma2=jnp.asarray(obs_s2),
+            obs_valid=jnp.asarray(obs_valid),
+            intr=jnp.asarray(cfg.intr),
+        )
+        res = _run_ba_jit(prob, 5, 10)
+
+        new_T = np.asarray(res.cam_T)
+        for c, i in cam_slot.items():
+            if not fixed[i]:
+                st.kf_T[c] = new_T[i]
+        st.pt_xyz[pts] = np.asarray(res.points)[:P]
+
+        # Erase outlier observations (Optimizer.cc:520-556) — loop only over
+        # the (few) outliers.
+        inl = np.asarray(res.obs_inlier)[:P]
+        out_i, out_s = np.nonzero(obs_valid[:P] & ~inl)
+        for i, s in zip(out_i, out_s):
+            st.remove_observation(int(pts[i]), int(okf[i, s]))
+        # Cull points left with < 2 observations.
+        dead = pts[st.pt_n_obs[pts] < 2]
+        if len(dead):
+            st.cull_points(dead)

@@ -1,0 +1,97 @@
+"""System facade: the public API of the SLAM engine.
+
+Mirrors the reference's System class (System.h:258-459 / System.cc:41-184):
+construction wires tracking + local mapping (+ loop closing when enabled),
+`track_monocular` is the per-frame entry point, localization-only mode
+freezes the map, reset and trajectory export match the reference semantics.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..map.store import MapStore
+from .config import SlamConfig
+from .local_mapping import LocalMapper
+from .tracking import Tracker, TrackingState
+
+
+@dataclass
+class System:
+    cfg: SlamConfig
+    enable_mapping: bool = True  # False = localization-only mode
+    store: MapStore = None
+    tracker: Tracker = field(init=False)
+    mapper: LocalMapper = field(init=False)
+
+    def __post_init__(self):
+        if self.store is None:
+            self.store = MapStore(self.cfg.map)
+        self.tracker = Tracker(cfg=self.cfg, store=self.store)
+        self.mapper = LocalMapper(cfg=self.cfg, store=self.store)
+        self.tracker.on_new_keyframe = self._on_new_keyframe
+
+    def _on_new_keyframe(self, kf: int, bootstrap: bool = False):
+        if self.enable_mapping:
+            self.mapper.process(kf, bootstrap=bootstrap)
+
+    # ------------------------------------------------------------------ #
+    def track_monocular(self, img, timestamp: float = 0.0):
+        """Feed one grayscale (or RGB) image. Returns (state, Tcw | None)
+        (System::TrackMonocular, System.cc:115-152)."""
+        img = np.asarray(img)
+        if img.ndim == 3:
+            from ..ops.image import rgb_to_gray
+            import jax.numpy as jnp
+
+            img = np.asarray(rgb_to_gray(jnp.asarray(img)))
+        return self.tracker.track(img, timestamp)
+
+    def activate_localization_mode(self):
+        """Stop mapping; track against the frozen map (System.cc:154-158)."""
+        self.enable_mapping = False
+
+    def deactivate_localization_mode(self):
+        self.enable_mapping = True
+
+    def reset(self):
+        self.tracker.reset()
+
+    @property
+    def state(self) -> TrackingState:
+        return self.tracker.state
+
+    # ------------------------------------------------------------------ #
+    def keyframe_trajectory(self):
+        """[(timestamp, Twc 4x4)] for all live keyframes, sorted by time
+        (SaveKeyFrameTrajectoryTUM source data, System.h:345-349)."""
+        st = self.store
+        out = []
+        for k in np.nonzero(st.kf_valid)[0]:
+            Tcw = st.kf_T[k]
+            R = Tcw[:3, :3]
+            Twc = np.eye(4, dtype=np.float64)
+            Twc[:3, :3] = R.T
+            Twc[:3, 3] = -R.T @ Tcw[:3, 3]
+            out.append((float(st.kf_timestamp[k]), Twc))
+        out.sort(key=lambda x: x[0])
+        return out
+
+    def frame_trajectory(self):
+        """[(timestamp, frame_id, Tcw)] for every tracked frame."""
+        return list(self.tracker.trajectory)
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        """TUM format: 'timestamp tx ty tz qx qy qz qw' per keyframe."""
+        from ..geometry import se3
+        import jax.numpy as jnp
+
+        with open(path, "w") as f:
+            for ts, Twc in self.keyframe_trajectory():
+                q = np.asarray(se3.to_quaternion(jnp.asarray(Twc[:3, :3])))
+                t = Twc[:3, 3]
+                f.write(
+                    f"{ts:.6f} {t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
+                    f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n"
+                )

@@ -1,0 +1,488 @@
+"""Tracking front-end FSM (host orchestration of jitted device programs).
+
+The reference's Tracking thread (Tracking.cc:123-342) as a host state machine:
+per frame it runs at most three fused device programs (motion-model track,
+reference-KF fallback, local-map track) plus the extractor — the host only
+handles state transitions and small index bookkeeping.
+
+States mirror the reference enum (Tracking.h eTrackingState):
+NO_IMAGES_YET / NOT_INITIALIZED / OK / LOST.
+"""
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..map.store import MapStore
+from ..optim import BAProblem, run_ba
+from . import tracking_kernels as tk
+from .config import SlamConfig
+from .frame import FrameData, make_frame_builder
+
+
+class TrackingState(enum.Enum):
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    OK = 2
+    LOST = 3
+
+
+@dataclass
+class TrackedFrame:
+    """Host-side record of the last processed frame."""
+
+    data: FrameData
+    Tcw: np.ndarray
+    bind: np.ndarray  # [N] global map-point id per feature (-1 unbound)
+    frame_id: int
+    timestamp: float
+    octave: np.ndarray  # host copy of per-feature octaves
+    n_inliers: int = 0
+
+
+@dataclass
+class Tracker:
+    cfg: SlamConfig
+    store: MapStore
+    state: TrackingState = TrackingState.NO_IMAGES_YET
+    last: TrackedFrame | None = None
+    init_ref: TrackedFrame | None = None
+    velocity: np.ndarray | None = None
+    ref_kf: int = -1
+    frame_id: int = 0
+    last_kf_frame_id: int = 0
+    last_reloc_frame_id: int = -10**9
+    on_new_keyframe = None  # callback(kf_id) -> None, wired by System
+    relocalizer = None  # callback(frame) -> (ok, Tcw, bind), wired by System
+    trajectory: list = field(default_factory=list)
+
+    def __post_init__(self):
+        self._build = make_frame_builder(self.cfg.orb)
+        self._key = jax.random.PRNGKey(0)
+        self._intr = jnp.asarray(self.cfg.intr)
+        self._K = jnp.asarray(
+            np.array(
+                [
+                    [self.cfg.intr[0], 0, self.cfg.intr[2]],
+                    [0, self.cfg.intr[1], self.cfg.intr[3]],
+                    [0, 0, 1],
+                ],
+                np.float32,
+            )
+        )
+        self._sigma2 = jnp.asarray(self.cfg.sigma2_table)
+
+    # ------------------------------------------------------------------ #
+    def track(self, img, timestamp: float = 0.0):
+        """Process one grayscale image. Returns (state, Tcw or None)."""
+        frame = self._build(jnp.asarray(img), self.cfg.camera)
+        fid = self.frame_id
+        self.frame_id += 1
+
+        if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
+            self._monocular_initialization(frame, fid, timestamp)
+        elif self.state == TrackingState.OK:
+            self._track_frame(frame, fid, timestamp)
+        else:  # LOST
+            self._relocalize(frame, fid, timestamp)
+
+        Tcw = self.last.Tcw if self.last is not None and self.state == TrackingState.OK else None
+        if Tcw is not None:
+            self.trajectory.append((timestamp, fid, Tcw.copy()))
+        return self.state, Tcw
+
+    # ------------------------------------------------------------------ #
+    # initialization (Tracking.cc:344-521)
+    # ------------------------------------------------------------------ #
+    def _monocular_initialization(self, frame, fid, timestamp):
+        n_valid = int(np.asarray(frame.feats.valid).sum())
+        if self.init_ref is None or n_valid <= self.cfg.th.min_init_matches:
+            if n_valid > self.cfg.th.min_init_matches:
+                self.init_ref = TrackedFrame(
+                    data=frame, Tcw=np.eye(4, dtype=np.float32),
+                    bind=np.full(self.cfg.orb.n_features, -1, np.int64),
+                    frame_id=fid, timestamp=timestamp,
+                    octave=np.asarray(frame.feats.octave),
+                )
+                self.state = TrackingState.NOT_INITIALIZED
+            return
+
+        self._key, sub = jax.random.split(self._key)
+        match, init = tk.bootstrap(self.init_ref.data, frame, self._K, sub)
+        n_matches = int(jnp.sum(match.ok))
+        if n_matches < self.cfg.th.min_init_matches:
+            self.init_ref = None  # retry with a fresh reference
+            return
+        if not bool(init.success):
+            return
+
+        self._create_initial_map(frame, fid, timestamp, match, init)
+
+    def _create_initial_map(self, frame, fid, timestamp, match, init):
+        st = self.store
+        f1, f2 = self.init_ref.data, frame
+        T21 = np.asarray(init.T21)
+
+        k1 = st.add_keyframe(
+            np.eye(4, dtype=np.float32), np.asarray(f1.xy_un),
+            np.asarray(f1.feats.angle), np.asarray(f1.feats.octave),
+            np.asarray(f1.feats.desc), np.asarray(f1.feats.valid),
+            frame_id=self.init_ref.frame_id, timestamp=self.init_ref.timestamp,
+        )
+        k2 = st.add_keyframe(
+            T21, np.asarray(f2.xy_un),
+            np.asarray(f2.feats.angle), np.asarray(f2.feats.octave),
+            np.asarray(f2.feats.desc), np.asarray(f2.feats.valid),
+            frame_id=fid, timestamp=timestamp,
+        )
+
+        good = np.asarray(init.good)
+        m_idx = np.asarray(match.idx)
+        pts3d = np.asarray(init.points)
+        feat1_ids = np.nonzero(good)[0]
+        pt_ids = st.alloc_points(len(feat1_ids))
+        st.pt_xyz[pt_ids] = pts3d[feat1_ids]
+        st.pt_first_kf[pt_ids] = k2
+        for p, f1i in zip(pt_ids, feat1_ids):
+            st.add_observation(int(p), k1, int(f1i))
+            st.add_observation(int(p), k2, int(m_idx[f1i]))
+        st.update_point_derived(pt_ids, self.cfg.orb.scale_factor, self.cfg.orb.n_levels)
+
+        # Global BA over the initial two-view map (Tracking.cc:470,
+        # GlobalBundleAdjustemnt(map, 20)).
+        self._initial_ba(k1, k2, pt_ids)
+
+        # Median-depth normalization to 1.0 (Tracking.cc:473-497).
+        md = float(
+            tk.compute_median_depth(
+                jnp.asarray(st.kf_T[k1]), jnp.asarray(st.pt_xyz),
+                jnp.asarray(st.pt_valid),
+            )
+        )
+        if md < 1e-6 or int(st.pt_n_obs[pt_ids].sum()) < 2 * self.cfg.th.min_init_triangulated:
+            self.reset()
+            return
+        st.pt_xyz[st.pt_valid] /= md
+        st.kf_T[k2, :3, 3] /= md
+        st.update_point_derived(pt_ids, self.cfg.orb.scale_factor, self.cfg.orb.n_levels)
+
+        bind = np.full(self.cfg.orb.n_features, -1, np.int64)
+        bind[m_idx[feat1_ids]] = pt_ids
+        self.last = TrackedFrame(
+            data=frame, Tcw=st.kf_T[k2].copy(), bind=bind, frame_id=fid,
+            timestamp=timestamp, octave=np.asarray(frame.feats.octave),
+            n_inliers=len(pt_ids),
+        )
+        self.ref_kf = k2
+        self.last_kf_frame_id = fid
+        self.velocity = None
+        self.state = TrackingState.OK
+        if self.on_new_keyframe is not None:
+            self.on_new_keyframe(k1, bootstrap=True)
+            self.on_new_keyframe(k2, bootstrap=True)
+
+    def _initial_ba(self, k1, k2, pt_ids):
+        st = self.store
+        P = len(pt_ids)
+        M = st.cfg.max_obs_per_point
+        cam_map = {k1: 0, k2: 1}
+        obs_cam = np.zeros((P, M), np.int32)
+        obs_uv = np.zeros((P, M, 2), np.float32)
+        obs_s2 = np.ones((P, M), np.float32)
+        obs_valid = np.zeros((P, M), bool)
+        for i, p in enumerate(pt_ids):
+            for s in range(st.pt_n_obs[p]):
+                kf, f = int(st.pt_obs_kf[p, s]), int(st.pt_obs_feat[p, s])
+                obs_cam[i, s] = cam_map[kf]
+                obs_uv[i, s] = st.kf_xy[kf, f]
+                obs_s2[i, s] = self.cfg.sigma2_table[st.kf_octave[kf, f]]
+                obs_valid[i, s] = True
+        prob = BAProblem(
+            cam_T=jnp.asarray(np.stack([st.kf_T[k1], st.kf_T[k2]])),
+            cam_fixed=jnp.asarray([True, False]),
+            points=jnp.asarray(st.pt_xyz[pt_ids]),
+            point_valid=jnp.ones(P, bool),
+            obs_cam=jnp.asarray(obs_cam),
+            obs_uv=jnp.asarray(obs_uv),
+            obs_sigma2=jnp.asarray(obs_s2),
+            obs_valid=jnp.asarray(obs_valid),
+            intr=self._intr,
+        )
+        res = run_ba(prob, iters=20)
+        st.kf_T[k2] = np.asarray(res.cam_T[1])
+        st.pt_xyz[pt_ids] = np.asarray(res.points)
+
+    # ------------------------------------------------------------------ #
+    # steady-state tracking (Tracking.cc:231-342)
+    # ------------------------------------------------------------------ #
+    def _track_frame(self, frame, fid, timestamp):
+        th = self.cfg.th
+        ok, Tcw, bind, n_inl = self._track_motion_model(frame)
+        if not ok:
+            ok, Tcw, bind, n_inl = self._track_reference_kf(frame)
+        if not ok:
+            self.state = TrackingState.LOST
+            self.last = TrackedFrame(
+                data=frame, Tcw=self.last.Tcw, bind=np.full_like(self.last.bind, -1),
+                frame_id=fid, timestamp=timestamp,
+                octave=np.asarray(frame.feats.octave),
+            )
+            return
+
+        Tcw, bind, n_inl = self._track_local_map(frame, Tcw, bind)
+        if n_inl < th.min_localmap_inliers:
+            self.state = TrackingState.LOST
+            self.last = TrackedFrame(
+                data=frame, Tcw=Tcw, bind=np.full_like(bind, -1),
+                frame_id=fid, timestamp=timestamp,
+                octave=np.asarray(frame.feats.octave),
+            )
+            return
+
+        # Motion model update (Tracking.cc:278-283).
+        if self.last is not None:
+            self.velocity = Tcw @ np.linalg.inv(self.last.Tcw)
+        prev = self.last
+        self.last = TrackedFrame(
+            data=frame, Tcw=Tcw, bind=bind, frame_id=fid, timestamp=timestamp,
+            octave=np.asarray(frame.feats.octave), n_inliers=n_inl,
+        )
+        if self._need_new_keyframe(n_inl, fid):
+            self._create_new_keyframe(frame, fid, timestamp, bind)
+
+    def _track_motion_model(self, frame):
+        th = self.cfg.th
+        if self.velocity is None or self.last is None:
+            return self._track_reference_kf(frame)
+        st = self.store
+        ids = self.last.bind
+        live = (ids >= 0) & st.pt_valid[np.clip(ids, 0, None)]
+        safe = np.clip(ids, 0, None)
+        pred_T = (self.velocity @ self.last.Tcw).astype(np.float32)
+
+        for radius in (th.motion_search_radius, th.motion_search_radius_retry):
+            T, bind, inlier, n, _ = tk.track_points(
+                jnp.asarray(pred_T),
+                jnp.asarray(st.pt_xyz[safe]),
+                jnp.asarray(st.pt_desc[safe]),
+                jnp.asarray(live),
+                jnp.asarray(self.last.octave),
+                jnp.asarray(st.pt_normal[safe]),
+                jnp.asarray(st.pt_min_dist[safe]),
+                jnp.asarray(st.pt_max_dist[safe]),
+                jnp.zeros(self.cfg.orb.n_features, dtype=bool),
+                jnp.zeros((self.cfg.orb.n_features, 3), jnp.float32),
+                jnp.zeros(self.cfg.orb.n_features, dtype=bool),
+                frame, self.cfg.camera, self._intr,
+                jnp.float32(radius),
+                scale_factor=self.cfg.orb.scale_factor,
+                n_levels=self.cfg.orb.n_levels,
+                use_frustum=False, ratio=0.9,
+            )
+            n = int(n)
+            if n >= th.min_motion_inliers + 10:
+                break
+        if n < th.min_motion_inliers:
+            return False, None, None, 0
+        bind_np = np.asarray(bind)
+        g_bind = np.where(bind_np >= 0, ids[np.clip(bind_np, 0, None)], -1)
+        return True, np.asarray(T), g_bind, n
+
+    def _track_reference_kf(self, frame):
+        th = self.cfg.th
+        if self.ref_kf < 0:
+            return False, None, None, 0
+        st = self.store
+        kf = self.ref_kf
+        obs_pt = st.kf_obs_point[kf]
+        has_pt = (obs_pt >= 0) & st.pt_valid[np.clip(obs_pt, 0, None)]
+        pt_xyz = st.pt_xyz[np.clip(obs_pt, 0, None)]
+        T0 = self.last.Tcw if self.last is not None else np.eye(4, dtype=np.float32)
+        T, bind, inlier, n = tk.track_reference_kf(
+            jnp.asarray(T0.astype(np.float32)),
+            jnp.asarray(st.kf_desc[kf]),
+            jnp.asarray(has_pt),
+            jnp.asarray(pt_xyz),
+            jnp.asarray(st.kf_angle[kf]),
+            frame, self._intr,
+        )
+        n = int(n)
+        if n < th.min_refkf_inliers:
+            return False, None, None, 0
+        bind_np = np.asarray(bind)
+        g_bind = np.where(bind_np >= 0, obs_pt[np.clip(bind_np, 0, None)], -1)
+        return True, np.asarray(T), g_bind, n
+
+    def _local_point_ids(self, bind):
+        """Local map = points seen by keyframes sharing points with the
+        current frame + their best covisible neighbors (UpdateLocalKeyFrames/
+        Points, Tracking.cc:838-967)."""
+        st = self.store
+        th = self.cfg.th
+        tracked = np.unique(bind[bind >= 0])
+        if len(tracked) == 0:
+            return np.empty(0, np.int64), []
+        obs_kf = st.pt_obs_kf[tracked]
+        kf_counts = np.bincount(
+            obs_kf[obs_kf >= 0], minlength=st.cfg.max_keyframes
+        )
+        k1 = np.nonzero(kf_counts)[0]
+        # Sort by shared count, cap (Tracking.cc:913 max 80).
+        k1 = k1[np.argsort(-kf_counts[k1], kind="stable")][: th.max_local_keyframes]
+        local_kfs = set(int(k) for k in k1)
+        if len(k1) > 0:
+            best = int(k1[0])
+            for nb in st.covisible_keyframes(best, top=10):
+                local_kfs.add(int(nb))
+        pts = st.kf_obs_point[sorted(local_kfs)]
+        pts = np.unique(pts[pts >= 0])
+        pts = pts[st.pt_valid[pts]]
+        return pts[: th.max_local_points], sorted(local_kfs)
+
+    def _track_local_map(self, frame, Tcw, bind):
+        st = self.store
+        th = self.cfg.th
+        n_feat = self.cfg.orb.n_features
+        local_pts, _ = self._local_point_ids(bind)
+        P = th.max_local_points
+        ids = np.full(P, 0, np.int64)
+        valid = np.zeros(P, bool)
+        m = min(len(local_pts), P)
+        ids[:m] = local_pts[:m]
+        # Exclude points already bound to this frame (reference skips
+        # mnLastFrameSeen == current, Tracking.cc:795).
+        already = np.isin(ids, bind[bind >= 0])
+        valid[:m] = ~already[:m]
+
+        prev_bound = bind >= 0
+        prev_xyz = st.pt_xyz[np.clip(bind, 0, None)]
+
+        T, lbind, inlier, n, visible = tk.track_points(
+            jnp.asarray(Tcw.astype(np.float32)),
+            jnp.asarray(st.pt_xyz[ids]),
+            jnp.asarray(st.pt_desc[ids]),
+            jnp.asarray(valid & st.pt_valid[ids]),
+            jnp.zeros(P, jnp.int32),
+            jnp.asarray(st.pt_normal[ids]),
+            jnp.asarray(st.pt_min_dist[ids]),
+            jnp.asarray(st.pt_max_dist[ids]),
+            jnp.asarray(prev_bound),
+            jnp.asarray(prev_xyz.astype(np.float32)),
+            jnp.asarray(prev_bound),
+            frame, self.cfg.camera, self._intr,
+            jnp.float32(th.localmap_search_radius),
+            scale_factor=self.cfg.orb.scale_factor,
+            n_levels=self.cfg.orb.n_levels,
+            use_frustum=True, ratio=0.8,
+        )
+        lbind_np = np.asarray(lbind)
+        inlier_np = np.asarray(inlier)
+        new_bind = np.where(
+            lbind_np >= 0, ids[np.clip(lbind_np, 0, None)],
+            np.where(prev_bound & inlier_np, bind, -1),
+        )
+        # Tracking stats for culling (MapPoint::IncreaseVisible/Found).
+        vis_np = np.asarray(visible)
+        st.pt_visible[ids[vis_np & valid]] += 1
+        st.pt_found[new_bind[new_bind >= 0]] += 1
+        return np.asarray(T), new_bind, int(n)
+
+    # ------------------------------------------------------------------ #
+    # keyframe decision / creation (Tracking.cc:697-779)
+    # ------------------------------------------------------------------ #
+    def _need_new_keyframe(self, n_inl, fid):
+        th = self.cfg.th
+        st = self.store
+        if self.ref_kf < 0:
+            return False
+        # Reference matches are counted against points with >= 3 observations
+        # (KeyFrame::TrackedMapPoints(3) when the map has > 2 KFs,
+        # Tracking.cc:711-714) — weakly-observed points don't inflate n_ref.
+        min_obs = 3 if st.n_keyframes() > 2 else 2
+        obs = st.kf_obs_point[self.ref_kf]
+        oc = np.clip(obs, 0, None)
+        n_ref = int(
+            ((obs >= 0) & st.pt_valid[oc] & (st.pt_n_obs[oc] >= min_obs)).sum()
+        )
+        c1 = fid >= self.last_kf_frame_id + th.kf_max_frames
+        c2 = (n_inl < n_ref * th.kf_ref_ratio) and n_inl > th.kf_min_tracked
+        # Baseline-over-depth staleness (not in the reference, which relies
+        # on match decay alone): monocular accuracy needs the map extended
+        # once the camera has moved a meaningful fraction of the scene depth
+        # since the last keyframe — exactly the gate LocalMapping applies
+        # before triangulating (LocalMapping.cc:219-223), applied here
+        # prospectively so there is something to triangulate WITH.
+        c3 = False
+        if n_inl > th.kf_min_tracked:
+            ids = self.last.bind
+            ids = ids[ids >= 0]
+            if len(ids) > 10:
+                Tcw = self.last.Tcw
+                pc_z = (
+                    st.pt_xyz[ids] @ Tcw[:3, :3].T + Tcw[:3, 3]
+                )[:, 2]
+                md = float(np.median(pc_z[pc_z > 0])) if (pc_z > 0).any() else 0.0
+                Ow_cur = -Tcw[:3, :3].T @ Tcw[:3, 3]
+                Tkf = st.kf_T[self.ref_kf]
+                Ow_kf = -Tkf[:3, :3].T @ Tkf[:3, 3]
+                baseline = float(np.linalg.norm(Ow_cur - Ow_kf))
+                c3 = md > 1e-6 and baseline / md > th.kf_baseline_depth_ratio
+        return c1 or c2 or c3
+
+    def _create_new_keyframe(self, frame, fid, timestamp, bind):
+        st = self.store
+        if int((~st.kf_valid).sum()) == 0:
+            return
+        k = st.add_keyframe(
+            self.last.Tcw, np.asarray(frame.xy_un),
+            np.asarray(frame.feats.angle), np.asarray(frame.feats.octave),
+            np.asarray(frame.feats.desc), np.asarray(frame.feats.valid),
+            frame_id=fid, timestamp=timestamp,
+        )
+        touched = []
+        for f in np.nonzero(bind >= 0)[0]:
+            p = int(bind[f])
+            if st.pt_valid[p]:
+                st.add_observation(p, k, int(f))
+                touched.append(p)
+        st.update_point_derived(
+            np.unique(touched), self.cfg.orb.scale_factor, self.cfg.orb.n_levels
+        )
+        self.ref_kf = k
+        self.last_kf_frame_id = fid
+        if self.on_new_keyframe is not None:
+            self.on_new_keyframe(k)
+
+    # ------------------------------------------------------------------ #
+    def _relocalize(self, frame, fid, timestamp):
+        """LOST state: delegate to the relocalizer if wired (Tracking.cc:969).
+        Without one (minimal pipeline), stay lost."""
+        if self.relocalizer is None:
+            return
+        ok, Tcw, bind = self.relocalizer(frame)
+        if ok:
+            self.last = TrackedFrame(
+                data=frame, Tcw=Tcw, bind=bind, frame_id=fid,
+                timestamp=timestamp, octave=np.asarray(frame.feats.octave),
+            )
+            Tcw2, bind2, n = self._track_local_map(frame, Tcw, bind)
+            if n >= self.cfg.th.min_localmap_inliers:
+                self.last.Tcw = Tcw2
+                self.last.bind = bind2
+                self.velocity = None
+                self.last_reloc_frame_id = fid
+                self.state = TrackingState.OK
+
+    def reset(self):
+        """Full tracker reset (Tracking::Reset, Tracking.cc:1133-1175)."""
+        self.state = TrackingState.NO_IMAGES_YET
+        self.last = None
+        self.init_ref = None
+        self.velocity = None
+        self.ref_kf = -1
+        self.last_kf_frame_id = 0
+        self.store.__post_init__()  # clear all map arrays

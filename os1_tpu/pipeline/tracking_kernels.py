@@ -1,0 +1,278 @@
+"""Jitted device programs for the tracking FSM.
+
+Each function is one fused XLA program covering what the reference does with
+several scalar loops + a g2o solve per frame (Tracking.cc:123-342). The host
+FSM (tracking.py) only moves small index arrays and scalars.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import camera as cam_mod
+from ..geometry import se3
+from ..matching import core as mcore
+from ..matching import matchers
+from ..optim import optimize_pose
+from .frame import FrameData
+
+NEG = jnp.int32(-1)
+
+
+def _bind_features(n_feat: int, match: mcore.MatchResult, pt_slots: jnp.ndarray):
+    """Invert a point->feature match into a per-feature binding array.
+
+    Returns bind [n_feat] int32: local point slot per feature (-1 unbound).
+    pt_slots: [P] the local slot ids (usually arange).
+    """
+    bind = jnp.full(n_feat, NEG)
+    tgt = jnp.where(match.ok, match.idx, n_feat)  # invalid -> scratch slot
+    bind = jnp.concatenate([bind, NEG[None]])  # scratch lane
+    bind = bind.at[tgt].set(jnp.where(match.ok, pt_slots, NEG))
+    return bind[:n_feat]
+
+
+@functools.partial(jax.jit, static_argnames=("use_frustum", "n_levels"))
+def track_points(
+    T0: jnp.ndarray,
+    pt_xyz: jnp.ndarray,  # [P, 3]
+    pt_desc: jnp.ndarray,  # [P, 8]
+    pt_valid: jnp.ndarray,  # [P]
+    pt_octave: jnp.ndarray,  # [P] reference octave (used when not use_frustum)
+    pt_normal: jnp.ndarray,  # [P, 3]
+    pt_min_dist: jnp.ndarray,  # [P]
+    pt_max_dist: jnp.ndarray,  # [P]
+    exclude_feat: jnp.ndarray,  # [N] bool: features already bound (skip)
+    prev_xyz: jnp.ndarray,  # [N, 3] positions of already-bound points
+    prev_bound: jnp.ndarray,  # [N] bool
+    frame: FrameData,
+    cam: cam_mod.Camera,
+    intr: jnp.ndarray,
+    base_radius: jnp.ndarray,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+    use_frustum: bool = False,
+    ratio: float = 0.8,
+    max_dist: int = mcore.TH_HIGH,
+):
+    """Project candidate points into the frame, match, and pose-optimize.
+
+    Covers TrackWithMotionModel (use_frustum=False: points carry their
+    last-seen octave, Tracking.cc:594-651 + ORBmatcher.cc:1292) and
+    TrackLocalMap's SearchLocalPoints (use_frustum=True: full isInFrustum
+    gates + distance-predicted octave, Tracking.cc:781-826 + Frame.cc:151-207).
+
+    Returns (T_opt, bind [N] local-slot per feature, inlier [N], n_inliers,
+    visible [P] — frustum-visible mask for found/visible stats).
+    """
+    n_feat = frame.xy_un.shape[0]
+    pc = se3.transform(T0, pt_xyz)
+    depth = pc[..., 2]
+    uv = cam_mod.project_ideal(cam, pc)
+    visible = pt_valid & (depth > 0.05) & cam_mod.in_image(cam, uv, margin=1.0)
+
+    if use_frustum:
+        Ow = se3.camera_center(T0)
+        po = pt_xyz - Ow
+        dist = jnp.linalg.norm(po, axis=-1)
+        # Scale-invariance band with the reference's 0.8/1.2 margins
+        # (Frame::isInFrustum, Frame.cc:151-207).
+        visible &= (dist >= 0.8 * pt_min_dist) & (dist <= 1.2 * pt_max_dist)
+        viewcos = jnp.sum(po * pt_normal, axis=-1) / jnp.clip(
+            dist * jnp.linalg.norm(pt_normal, axis=-1), 1e-8, None
+        )
+        visible &= viewcos > 0.5
+        octave = matchers.predicted_octave(dist, pt_max_dist, scale_factor, n_levels)
+        # Reference: radius 2.5 when viewcos > 0.998 else 4.0 (ORBmatcher.cc:67).
+        radius = jnp.where(viewcos > 0.998, 2.5 / 4.0, 1.0) * base_radius
+    else:
+        octave = pt_octave
+        radius = base_radius
+
+    scale_pow = jnp.asarray(scale_factor) ** octave.astype(jnp.float32)
+    radius_px = radius * scale_pow
+
+    res = matchers.search_by_projection(
+        point_desc=pt_desc,
+        point_uv=uv,
+        point_valid=visible,
+        point_octave=octave,
+        feats=frame.feats._replace(xy=frame.xy_un, valid=frame.feats.valid & ~exclude_feat),
+        radius=radius_px,
+        ratio=ratio,
+        max_dist=max_dist,
+        octave_lo=-1 if use_frustum else 0,
+        octave_hi=1,
+    )
+    slots = jnp.arange(pt_xyz.shape[0], dtype=jnp.int32)
+    bind = _bind_features(n_feat, res, slots)
+    new_bound = (bind >= 0) & ~prev_bound
+    # Union of previous bindings (e.g. motion-model matches entering
+    # TrackLocalMap, Tracking.cc:653-694) and fresh ones; pose is optimized
+    # over all of them, as the reference's third PoseOptimization per frame.
+    bound = new_bound | prev_bound
+    pts_for_feat = jnp.where(
+        new_bound[:, None], pt_xyz[jnp.clip(bind, 0, None)], prev_xyz
+    )
+    opt = optimize_pose(
+        T0, pts_for_feat, frame.xy_un, frame.sigma2, bound, intr
+    )
+    inlier = opt.inlier & bound
+    bind = jnp.where(inlier & new_bound, bind, NEG)
+    return opt.Tcw, bind, inlier, jnp.sum(inlier), visible
+
+
+@jax.jit
+def track_reference_kf(
+    T0: jnp.ndarray,
+    kf_desc: jnp.ndarray,  # [N, 8] keyframe feature descriptors
+    kf_bound: jnp.ndarray,  # [N] bool: feature has a map point
+    kf_pt_xyz: jnp.ndarray,  # [N, 3] bound point position per kf feature
+    kf_angle: jnp.ndarray,  # [N]
+    frame: FrameData,
+    intr: jnp.ndarray,
+):
+    """Descriptor-only matching against the reference keyframe + pose opt
+    (TrackReferenceKeyFrame, Tracking.cc:540-582; the reference prunes with
+    BoW buckets — ORBmatcher::SearchByBoW — purely as a CPU speedup, the
+    dense gated matrix replaces it on the MXU).
+
+    Returns (T_opt, bind [N_frame] -> kf feature index, inlier, n_inliers).
+    """
+    n_feat = frame.xy_un.shape[0]
+    gate = frame.feats.valid[:, None] & kf_bound[None, :]
+    res = mcore.match_with_gate(
+        frame.feats.desc, kf_desc, gate, max_dist=mcore.TH_LOW, ratio=0.7
+    )
+    res = mcore.mutual_best(res, kf_desc.shape[0])
+    res = mcore.rotation_consistency(frame.feats.angle, kf_angle, res)
+    bound = res.ok
+    pts_for_feat = kf_pt_xyz[jnp.clip(res.idx, 0, None)]
+    opt = optimize_pose(T0, pts_for_feat, frame.xy_un, frame.sigma2, bound, intr)
+    inlier = opt.inlier & bound
+    bind = jnp.where(inlier, res.idx, NEG)
+    return opt.Tcw, bind, inlier, jnp.sum(inlier)
+
+
+@jax.jit
+def bootstrap(
+    f1: FrameData,
+    f2: FrameData,
+    K: jnp.ndarray,
+    key: jnp.ndarray,
+):
+    """Initialization attempt between two frames: window match + two-view
+    RANSAC reconstruction (MonocularInitialization, Tracking.cc:344-419).
+
+    Returns (match result f1->f2, InitResult).
+    """
+    from ..solvers import initialize_two_view
+
+    match = matchers.search_for_initialization(
+        f1.feats._replace(xy=f1.xy_un), f2.feats._replace(xy=f2.xy_un)
+    )
+    xy1 = f1.xy_un
+    xy2 = f2.xy_un[jnp.clip(match.idx, 0, None)]
+    init = initialize_two_view(xy1, xy2, match.ok, K, key)
+    return match, init
+
+
+@jax.jit
+def triangulate_with_neighbor(
+    T_new: jnp.ndarray,
+    T_nb: jnp.ndarray,
+    new_xy: jnp.ndarray,
+    new_desc: jnp.ndarray,
+    new_angle: jnp.ndarray,
+    new_octave: jnp.ndarray,
+    new_unbound: jnp.ndarray,  # [N] valid features without a point
+    nb_xy: jnp.ndarray,
+    nb_desc: jnp.ndarray,
+    nb_angle: jnp.ndarray,
+    nb_octave: jnp.ndarray,
+    nb_unbound: jnp.ndarray,
+    K: jnp.ndarray,
+    sigma2_table: jnp.ndarray,
+    median_depth_new: jnp.ndarray,
+):
+    """Epipolar-matched triangulation of new map points between the new
+    keyframe and one covisible neighbor (LocalMapping::CreateNewMapPoints,
+    LocalMapping.cc:188-367).
+
+    Returns (nb feature idx per new feature [-1 = none], points [N, 3],
+    accepted [N], baseline_ok scalar).
+    """
+    from ..features.orb import FrameFeatures
+    from ..geometry import triangulation
+
+    n = new_xy.shape[0]
+    # Baseline/depth gate (LocalMapping.cc:219-223): skip neighbors whose
+    # baseline is tiny relative to scene depth.
+    baseline = jnp.linalg.norm(
+        se3.camera_center(T_nb) - se3.camera_center(T_new)
+    )
+    baseline_ok = baseline / jnp.clip(median_depth_new, 1e-6, None) > 0.01
+
+    F12 = matchers.compute_f12(T_new, T_nb, K, K)
+    epi2 = cam_mod.project_ideal(
+        cam_mod.Camera(
+            fx=K[0, 0], fy=K[1, 1], cx=K[0, 2], cy=K[1, 2],
+            dist=jnp.zeros(8), fisheye=jnp.asarray(False),
+            width=jnp.inf, height=jnp.inf,
+        ),
+        se3.transform(T_nb, se3.camera_center(T_new)),
+    )
+    dummy = jnp.zeros(n, jnp.float32)
+    f_new = FrameFeatures(new_xy, dummy, new_angle, new_octave, new_desc, new_unbound)
+    f_nb = FrameFeatures(nb_xy, dummy, nb_angle, nb_octave, nb_desc, nb_unbound)
+    match = matchers.search_for_triangulation(
+        f_new, f_nb, F12, sigma2_table, epipole2=epi2
+    )
+
+    P1 = K @ T_new[:3, :]
+    P2 = K @ T_nb[:3, :]
+    xy2 = nb_xy[jnp.clip(match.idx, 0, None)]
+    X = triangulation.triangulate_dlt(
+        jnp.broadcast_to(P1, (n, 3, 4)), jnp.broadcast_to(P2, (n, 3, 4)),
+        new_xy, xy2,
+    )
+    X = jnp.where(jnp.isfinite(X), X, 0.0)
+
+    def proj(T):
+        def f(pc):
+            z = jnp.where(jnp.abs(pc[..., 2]) < 1e-8, 1e-8, pc[..., 2])
+            return jnp.stack(
+                [K[0, 0] * pc[..., 0] / z + K[0, 2], K[1, 1] * pc[..., 1] / z + K[1, 2]],
+                axis=-1,
+            )
+        return f
+
+    check = triangulation.validate(
+        T_new, T_nb, X, new_xy, xy2,
+        proj(T_new), proj(T_nb),
+        sigma2_table[new_octave], sigma2_table[nb_octave[jnp.clip(match.idx, 0, None)]],
+    )
+    accepted = match.ok & check.valid & baseline_ok
+    nb_idx = jnp.where(accepted, match.idx, NEG)
+    return nb_idx, check.points, accepted, baseline_ok
+
+
+# All covisible neighbors triangulated in ONE device call (the reference's
+# sequential per-neighbor loop, LocalMapping.cc:207-365, vmapped over the
+# neighbor axis). Padding slots pass T_nb == T_new -> zero baseline -> every
+# candidate rejected by the baseline gate.
+triangulate_with_neighbors_batch = jax.jit(
+    jax.vmap(
+        triangulate_with_neighbor,
+        in_axes=(None, 0, None, None, None, None, None, 0, 0, 0, 0, 0, None, None, None),
+    )
+)
+
+
+@jax.jit
+def compute_median_depth(T: jnp.ndarray, pt_xyz: jnp.ndarray, mask: jnp.ndarray):
+    from ..geometry import triangulation
+
+    return triangulation.median_depth(T, pt_xyz, mask)

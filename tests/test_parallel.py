@@ -1,0 +1,96 @@
+"""Distributed-BA tests on the virtual 8-device CPU mesh: convergence and
+agreement with the single-device solver."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from os1_tpu.geometry import se3
+from os1_tpu.optim import BAProblem, run_ba
+from os1_tpu.parallel import distributed_ba
+
+INTR = jnp.asarray([400.0, 400.0, 320.0, 240.0])
+
+
+def build_problem(rng, n_pts=512, n_cams=8):
+    pts = rng.uniform(-2, 2, size=(n_pts, 3)).astype(np.float32)
+    pts[:, 2] += 6.0
+    poses = []
+    for i in range(n_cams):
+        xi = np.concatenate(
+            [rng.normal(0, 0.3, 3), rng.normal(0, 0.05, 3)]
+        ).astype(np.float32)
+        poses.append(np.asarray(se3.exp(jnp.asarray(xi))))
+    poses = np.stack(poses)
+    O = 4
+    obs_cam = rng.integers(0, n_cams, size=(n_pts, O)).astype(np.int32)
+    Tsel = poses[obs_cam]
+    pc = np.einsum("poij,pj->poi", Tsel[:, :, :3, :3], pts) + Tsel[:, :, :3, 3]
+    uv = np.stack(
+        [400 * pc[..., 0] / pc[..., 2] + 320, 400 * pc[..., 1] / pc[..., 2] + 240],
+        -1,
+    ).astype(np.float32)
+    valid = pc[..., 2] > 0.5
+    pts0 = pts + rng.normal(0, 0.04, pts.shape).astype(np.float32)
+    poses0 = poses.copy()
+    fixed = np.zeros(n_cams, bool)
+    fixed[:2] = True
+    for i in range(2, n_cams):
+        xi = np.concatenate(
+            [rng.normal(0, 0.02, 3), rng.normal(0, 0.008, 3)]
+        ).astype(np.float32)
+        poses0[i] = np.asarray(se3.exp(jnp.asarray(xi))) @ poses0[i]
+    prob = BAProblem(
+        cam_T=jnp.asarray(poses0),
+        cam_fixed=jnp.asarray(fixed),
+        points=jnp.asarray(pts0),
+        point_valid=jnp.ones(n_pts, bool),
+        obs_cam=jnp.asarray(obs_cam),
+        obs_uv=jnp.asarray(uv),
+        obs_sigma2=jnp.ones((n_pts, O)),
+        obs_valid=jnp.asarray(valid),
+        intr=INTR,
+    )
+    return prob, poses, pts
+
+
+@pytest.fixture
+def mesh():
+    devs = np.array(jax.devices())
+    assert len(devs) >= 8, "conftest must provide 8 virtual devices"
+    return Mesh(devs[:8], ("points",))
+
+
+class TestDistributedBA:
+    def test_converges(self, rng, mesh):
+        prob, poses, pts = build_problem(rng)
+        cam_T, points, cost = distributed_ba(prob, mesh, iters=10)
+        err = np.abs(np.asarray(cam_T)[2:] - poses[2:]).max()
+        assert err < 5e-3, err
+        perr = np.abs(np.asarray(points) - pts).max()
+        assert perr < 3e-2, perr
+
+    def test_matches_single_device(self, rng, mesh):
+        prob, poses, pts = build_problem(rng)
+        cam_T, points, cost = distributed_ba(prob, mesh, iters=8)
+        res = run_ba(prob, iters=8)
+        # Same algorithm, same schedule -> near-identical results.
+        np.testing.assert_allclose(
+            np.asarray(cam_T), np.asarray(res.cam_T), atol=5e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(points), np.asarray(res.points), atol=5e-3
+        )
+
+    def test_output_shardings(self, rng, mesh):
+        prob, poses, pts = build_problem(rng)
+        from os1_tpu.parallel import shard_problem
+        from os1_tpu.parallel.dist_ba import make_distributed_ba
+
+        runner = make_distributed_ba(mesh, iters=2)
+        sp = shard_problem(prob, mesh)
+        cam_T, points, cost = runner(sp)
+        # Points stay sharded over the mesh; cameras replicated.
+        assert len(points.sharding.device_set) == 8
+        assert cam_T.sharding.is_fully_replicated

@@ -1,0 +1,137 @@
+"""End-to-end pipeline test on a rendered synthetic scene: initialize, track,
+map, and bound trajectory error vs ground truth (the v1 milestone test,
+SURVEY.md §7 step 6)."""
+import numpy as np
+import pytest
+
+from os1_tpu.geometry.camera import Camera
+from os1_tpu.features.orb import OrbConfig
+from os1_tpu.io import synthetic
+from os1_tpu.map.store import MapConfig, MapStore
+from os1_tpu.pipeline import System, SlamConfig, TrackingState
+
+H, W = 240, 320
+K = np.array([[260.0, 0, 160.0], [0, 260.0, 120.0], [0, 0, 1.0]])
+
+
+def make_system(n_features=512):
+    cam = Camera.make(fx=K[0, 0], fy=K[1, 1], cx=K[0, 2], cy=K[1, 2],
+                      width=W, height=H)
+    orb = OrbConfig(height=H, width=W, n_features=n_features, n_levels=4)
+    cfg = SlamConfig(camera=cam, orb=orb,
+                     map=MapConfig(max_keyframes=64, max_points=8192,
+                                   n_features=n_features))
+    return System(cfg=cfg)
+
+
+@pytest.fixture(scope="module")
+def sequence():
+    scene = synthetic.default_scene(seed=3)
+    poses = synthetic.orbit_trajectory(40, advance=0.08)
+    frames = [synthetic.render(scene, T, K, H, W) for T in poses]
+    return frames, poses
+
+
+class TestStore:
+    def test_observation_bookkeeping(self):
+        st = MapStore(MapConfig(max_keyframes=4, max_points=16, n_features=8))
+        k = st.add_keyframe(np.eye(4), np.zeros((8, 2)), np.zeros(8),
+                            np.zeros(8, np.int32), np.zeros((8, 8), np.uint32),
+                            np.ones(8, bool))
+        p = st.alloc_points(1)[0]
+        st.add_observation(int(p), k, 3)
+        assert st.kf_obs_point[k, 3] == p
+        assert st.pt_n_obs[p] == 1
+        st.remove_observation(int(p), k)
+        assert st.kf_obs_point[k, 3] == -1
+        assert st.pt_n_obs[p] == 0
+
+    def test_covisibility(self):
+        st = MapStore(MapConfig(max_keyframes=4, max_points=64, n_features=32))
+        ks = [
+            st.add_keyframe(np.eye(4), np.zeros((32, 2)), np.zeros(32),
+                            np.zeros(32, np.int32), np.zeros((32, 8), np.uint32),
+                            np.ones(32, bool))
+            for _ in range(3)
+        ]
+        pts = st.alloc_points(20)
+        for i, p in enumerate(pts):
+            st.add_observation(int(p), ks[0], i)
+            st.add_observation(int(p), ks[1], i)
+            if i < 5:
+                st.add_observation(int(p), ks[2], i)
+        w = st.covisibility_weights(ks[0])
+        assert w[ks[1]] == 20 and w[ks[2]] == 5 and w[ks[0]] == 0
+        cov = st.covisible_keyframes(ks[0], min_weight=3)
+        assert list(cov) == [ks[1], ks[2]]
+
+    def test_cull_points(self):
+        st = MapStore(MapConfig(max_keyframes=2, max_points=8, n_features=4))
+        k = st.add_keyframe(np.eye(4), np.zeros((4, 2)), np.zeros(4),
+                            np.zeros(4, np.int32), np.zeros((4, 8), np.uint32),
+                            np.ones(4, bool))
+        p = st.alloc_points(1)[0]
+        st.add_observation(int(p), k, 0)
+        st.cull_points(np.array([p]))
+        assert not st.pt_valid[p]
+        assert st.kf_obs_point[k, 0] == -1
+
+
+class TestEndToEnd:
+    def test_initializes_and_tracks(self, sequence):
+        frames, poses = sequence
+        sys = make_system()
+        states = []
+        for i, f in enumerate(frames):
+            state, Tcw = sys.track_monocular(f, timestamp=i / 30.0)
+            states.append(state)
+        # Must initialize within the first frames and stay OK after.
+        first_ok = states.index(TrackingState.OK)
+        assert first_ok < 10, f"slow init: {[s.name for s in states[:12]]}"
+        ok_after = [s == TrackingState.OK for s in states[first_ok:]]
+        assert np.mean(ok_after) > 0.9, [s.name for s in states]
+        assert sys.store.n_keyframes() >= 3
+        assert sys.store.n_points() > 100
+
+    def test_trajectory_accuracy(self, sequence):
+        frames, poses = sequence
+        sys = make_system()
+        est, gt = [], []
+        for i, f in enumerate(frames):
+            state, Tcw = sys.track_monocular(f, timestamp=i / 30.0)
+            if state == TrackingState.OK and Tcw is not None:
+                est.append(Tcw)
+                gt.append(poses[i])
+        assert len(est) > 25
+        ate = synthetic.ate_rmse(est, gt)
+        traj_len = np.linalg.norm(np.diff(
+            np.array([-T[:3, :3].T @ T[:3, 3] for T in gt]), axis=0), axis=1).sum()
+        # ATE under 2% of trajectory length (ORB-SLAM2-class accuracy on
+        # a clean synthetic scene).
+        assert ate < 0.02 * traj_len, f"ATE {ate:.4f} over {traj_len:.2f}m"
+
+    def test_localization_mode_freezes_map(self, sequence):
+        frames, poses = sequence
+        sys = make_system()
+        for i, f in enumerate(frames[:25]):
+            sys.track_monocular(f, timestamp=i / 30.0)
+        n_pts = sys.store.n_points()
+        n_kfs = sys.store.n_keyframes()
+        sys.activate_localization_mode()
+        for i, f in enumerate(frames[25:]):
+            state, _ = sys.track_monocular(f, timestamp=(25 + i) / 30.0)
+        assert sys.store.n_points() <= n_pts + 1
+        assert sys.state == TrackingState.OK
+
+    def test_reset(self, sequence):
+        frames, poses = sequence
+        sys = make_system()
+        for i, f in enumerate(frames[:15]):
+            sys.track_monocular(f, timestamp=i / 30.0)
+        sys.reset()
+        assert sys.store.n_keyframes() == 0
+        assert sys.state == TrackingState.NO_IMAGES_YET
+        # Can re-initialize after reset.
+        for i, f in enumerate(frames[15:30]):
+            state, _ = sys.track_monocular(f, timestamp=(15 + i) / 30.0)
+        assert state == TrackingState.OK

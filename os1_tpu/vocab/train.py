@@ -1,0 +1,138 @@
+"""Vocabulary training: hierarchical binary k-medians over ORB descriptors.
+
+The reference ships a pre-trained 10^6-word vocabulary blob (orbVoc.bin,
+stripped from the repo); this module builds one from training descriptors —
+the same hierarchical-k-means construction DBoW2 uses (k-medians with
+bitwise-majority centroids, the correct mean under Hamming distance).
+Deterministic under a fixed seed.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .tree import Vocabulary
+
+
+def _unpack(descs: np.ndarray) -> np.ndarray:
+    """[M, 8] uint32 -> [M, 256] uint8 bits."""
+    return np.unpackbits(
+        descs.view(np.uint8).reshape(len(descs), 32), axis=-1, bitorder="little"
+    )
+
+
+def _pack(bits: np.ndarray) -> np.ndarray:
+    """[M, 256] bits -> [M, 8] uint32."""
+    by = np.packbits(bits.astype(np.uint8), axis=-1, bitorder="little")
+    return by.reshape(len(bits), 8, 4).view(np.uint32).reshape(len(bits), 8)
+
+
+def _kmedians(bits: np.ndarray, k: int, rng, iters: int = 8):
+    """Binary k-medians: returns (centroid bits [k', 256], assignment [M]).
+    k' <= k (empty clusters dropped)."""
+    m = len(bits)
+    k = min(k, m)
+    centers = bits[rng.choice(m, size=k, replace=False)].astype(np.uint8)
+    assign = np.zeros(m, np.int64)
+    for _ in range(iters):
+        d = (bits[:, None, :] != centers[None, :, :]).sum(-1)
+        assign = d.argmin(1)
+        new = []
+        for c in range(len(centers)):
+            sel = bits[assign == c]
+            if len(sel) == 0:
+                continue
+            new.append((sel.mean(0) >= 0.5).astype(np.uint8))
+        centers = np.array(new, np.uint8)
+        if len(centers) <= 1:
+            break
+    d = (bits[:, None, :] != centers[None, :, :]).sum(-1)
+    assign = d.argmin(1)
+    return centers, assign
+
+
+def build_vocabulary(
+    descs: np.ndarray, branching: int = 10, depth: int = 4, seed: int = 0,
+    n_docs: int | None = None, doc_ids: np.ndarray | None = None,
+) -> Vocabulary:
+    """Train a (branching^depth)-word vocabulary from packed descriptors
+    [M, 8] uint32. doc_ids (e.g. source-image index per descriptor) drive
+    tf-idf weights; without them weights fall back to idf over descriptors.
+    """
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    bits = _unpack(np.asarray(descs, np.uint32))
+
+    node_desc = [np.zeros(8, np.uint32)]  # root placeholder
+    node_children = [[]]
+    node_parent = [-1]
+    node_is_leaf = [False]
+    node_counts = [None]  # descriptor ids per leaf
+
+    def split(node_id, idx, level):
+        if level == depth or len(idx) <= branching:
+            node_is_leaf[node_id] = True
+            node_counts[node_id] = idx
+            return
+        centers, assign = _kmedians(bits[idx], branching, rng)
+        for c in range(len(centers)):
+            child = len(node_desc)
+            node_desc.append(_pack(centers[c][None])[0])
+            node_children.append([])
+            node_parent.append(node_id)
+            node_is_leaf.append(False)
+            node_counts.append(None)
+            node_children[node_id].append(child)
+            split(child, idx[assign == c], level + 1)
+
+    split(0, np.arange(len(bits)), 0)
+
+    n = len(node_desc)
+    kb = branching
+    children = np.full((n, kb), -1, np.int32)
+    for i, ch in enumerate(node_children):
+        children[i, : len(ch)] = ch
+    word_id = np.full(n, -1, np.int32)
+    weight = np.zeros(n, np.float32)
+    w = 0
+    n_docs_eff = n_docs if n_docs is not None else len(bits)
+    for i in range(n):
+        if node_is_leaf[i]:
+            word_id[i] = w
+            idx = node_counts[i]
+            if doc_ids is not None:
+                ni = len(np.unique(doc_ids[idx])) if len(idx) else 0
+            else:
+                ni = len(idx)
+            weight[i] = np.log(max(n_docs_eff, 2) / max(ni, 1))
+            w += 1
+
+    return Vocabulary(
+        node_desc=jnp.asarray(np.stack(node_desc)),
+        node_children=jnp.asarray(children),
+        node_weight=jnp.asarray(weight),
+        node_word=jnp.asarray(word_id),
+        n_words=w,
+        branching=kb,
+        depth=depth,
+    )
+
+
+def training_descriptors(n_images: int = 40, n_features: int = 512, seed: int = 7):
+    """Extract ORB descriptors from synthetic textures for default-vocab
+    training. Returns (descs [M, 8] uint32, doc_ids [M])."""
+    import jax.numpy as jnp
+
+    from ..features.orb import OrbConfig, make_extractor
+    from ..io.synthetic import smooth_texture
+
+    cfg = OrbConfig(height=240, width=320, n_features=n_features, n_levels=4)
+    extract = make_extractor(cfg)
+    descs, docs = [], []
+    for i in range(n_images):
+        img = smooth_texture(240, 320, 24 + (i % 5) * 8, seed=seed + i)
+        f = extract(jnp.asarray(img))
+        v = np.asarray(f.valid)
+        descs.append(np.asarray(f.desc)[v])
+        docs.append(np.full(v.sum(), i))
+    return np.concatenate(descs), np.concatenate(docs)

@@ -1,0 +1,160 @@
+"""Vocabulary + place-recognition tests: training determinism, transform
+consistency, binary-format roundtrip, database retrieval quality."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from os1_tpu.vocab import Vocabulary, transform, bow_vector, l1_score
+from os1_tpu.vocab.train import build_vocabulary
+from os1_tpu.vocab import dbow2
+from os1_tpu.vocab.database import KeyFrameDatabase
+
+
+@pytest.fixture(scope="module")
+def small_vocab():
+    rng = np.random.default_rng(0)
+    descs = rng.integers(0, 2**32, size=(3000, 8), dtype=np.uint32)
+    return build_vocabulary(descs, branching=5, depth=3, seed=1)
+
+
+class TestTraining:
+    def test_structure(self, small_vocab):
+        v = small_vocab
+        assert v.n_words > 50
+        word = np.asarray(v.node_word)
+        children = np.asarray(v.node_children)
+        # Leaves have no children; internal nodes have at least one.
+        leaves = word >= 0
+        assert (children[leaves] == -1).all()
+        assert (children[~leaves][:, 0][1:] >= 0).all() or (~leaves).sum() == 1
+        # Word ids are a permutation of range(n_words).
+        w = word[leaves]
+        assert sorted(w.tolist()) == list(range(v.n_words))
+
+    def test_deterministic(self):
+        rng = np.random.default_rng(3)
+        descs = rng.integers(0, 2**32, size=(500, 8), dtype=np.uint32)
+        v1 = build_vocabulary(descs, branching=4, depth=2, seed=9)
+        v2 = build_vocabulary(descs, branching=4, depth=2, seed=9)
+        np.testing.assert_array_equal(np.asarray(v1.node_desc), np.asarray(v2.node_desc))
+
+    def test_transform_assigns_near_descriptors_same_word(self, small_vocab):
+        rng = np.random.default_rng(5)
+        base = rng.integers(0, 2**32, size=(100, 8), dtype=np.uint32)
+        w1, _ = transform(small_vocab, jnp.asarray(base), jnp.ones(100, bool))
+        # 3-bit perturbation: mostly same word.
+        bits = np.unpackbits(base.view(np.uint8), axis=1)
+        for i in range(100):
+            flip = rng.choice(256, 3, replace=False)
+            bits[i, flip] ^= 1
+        pert = np.packbits(bits, axis=1).view(np.uint32)
+        w2, _ = transform(small_vocab, jnp.asarray(pert), jnp.ones(100, bool))
+        agreement = (np.asarray(w1) == np.asarray(w2)).mean()
+        assert agreement > 0.55, agreement
+
+    def test_invalid_masked(self, small_vocab):
+        rng = np.random.default_rng(1)
+        d = rng.integers(0, 2**32, size=(10, 8), dtype=np.uint32)
+        valid = np.zeros(10, bool)
+        valid[:5] = True
+        w, wt = transform(small_vocab, jnp.asarray(d), jnp.asarray(valid))
+        assert (np.asarray(w)[5:] == -1).all()
+        assert (np.asarray(wt)[5:] == 0).all()
+
+
+class TestBinaryFormat:
+    def test_roundtrip(self, small_vocab, tmp_path):
+        path = str(tmp_path / "vocab.bin")
+        dbow2.save_binary(small_vocab, path)
+        loaded = dbow2.load_binary(path)
+        assert loaded.n_words == small_vocab.n_words
+        assert loaded.branching == small_vocab.branching
+        np.testing.assert_array_equal(
+            np.asarray(loaded.node_desc), np.asarray(small_vocab.node_desc)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(loaded.node_children), np.asarray(small_vocab.node_children)
+        )
+        np.testing.assert_allclose(
+            np.asarray(loaded.node_weight), np.asarray(small_vocab.node_weight),
+            rtol=1e-6,
+        )
+        # Same transform results.
+        rng = np.random.default_rng(2)
+        d = rng.integers(0, 2**32, size=(50, 8), dtype=np.uint32)
+        w1, _ = transform(small_vocab, jnp.asarray(d), jnp.ones(50, bool))
+        w2, _ = transform(loaded, jnp.asarray(d), jnp.ones(50, bool))
+        np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+
+    def test_header(self, small_vocab, tmp_path):
+        path = str(tmp_path / "vocab.bin")
+        dbow2.save_binary(small_vocab, path)
+        raw = open(path, "rb").read()
+        assert raw[0] == 5 and raw[1] == 3  # k, L
+        assert raw[2] == 0 and raw[3] == 0  # L1-NORM, TF_IDF
+        assert (len(raw) - 4) % 45 == 0
+
+
+class TestScoring:
+    def test_self_similarity(self, small_vocab):
+        rng = np.random.default_rng(4)
+        d = rng.integers(0, 2**32, size=(200, 8), dtype=np.uint32)
+        w, wt = transform(small_vocab, jnp.asarray(d), jnp.ones(200, bool))
+        v = bow_vector(w, wt, small_vocab.n_words)
+        s = l1_score(v, v[None, :])
+        assert abs(float(s[0]) - 1.0) < 1e-5
+
+    def test_distinct_scenes_low_score(self, small_vocab):
+        rng = np.random.default_rng(6)
+        d1 = rng.integers(0, 2**32, size=(200, 8), dtype=np.uint32)
+        d2 = rng.integers(0, 2**32, size=(200, 8), dtype=np.uint32)
+        w1, wt1 = transform(small_vocab, jnp.asarray(d1), jnp.ones(200, bool))
+        w2, wt2 = transform(small_vocab, jnp.asarray(d2), jnp.ones(200, bool))
+        v1 = bow_vector(w1, wt1, small_vocab.n_words)
+        v2 = bow_vector(w2, wt2, small_vocab.n_words)
+        same = float(l1_score(v1, v1[None, :])[0])
+        diff = float(l1_score(v1, v2[None, :])[0])
+        assert diff < 0.6 * same
+
+
+class TestDatabase:
+    def test_retrieval(self, small_vocab):
+        """Store BoW of several 'scenes'; a noisy re-observation of scene i
+        must retrieve keyframe i as the top candidate."""
+        rng = np.random.default_rng(8)
+        db = KeyFrameDatabase(small_vocab, max_keyframes=16)
+        scene_desc = []
+        for k in range(8):
+            d = rng.integers(0, 2**32, size=(300, 8), dtype=np.uint32)
+            scene_desc.append(d)
+            _, _, v = db.compute_bow(d, np.ones(300, bool))
+            db.add(k, v)
+        for k in range(8):
+            # Re-observe with 20% replaced descriptors + bit noise.
+            d = scene_desc[k].copy()
+            repl = rng.choice(300, 60, replace=False)
+            d[repl] = rng.integers(0, 2**32, size=(60, 8), dtype=np.uint32)
+            _, _, v = db.compute_bow(d, np.ones(300, bool))
+            ids, scores = db.query(v)
+            assert len(ids) >= 1
+            assert ids[0] == k, (k, ids[:3], scores[:3])
+
+    def test_exclude(self, small_vocab):
+        rng = np.random.default_rng(9)
+        db = KeyFrameDatabase(small_vocab, max_keyframes=8)
+        d = rng.integers(0, 2**32, size=(100, 8), dtype=np.uint32)
+        _, _, v = db.compute_bow(d, np.ones(100, bool))
+        db.add(0, v)
+        db.add(1, v)
+        ids, _ = db.query(v, exclude=np.array([0]))
+        assert 0 not in ids and 1 in ids
+
+    def test_erase(self, small_vocab):
+        rng = np.random.default_rng(10)
+        db = KeyFrameDatabase(small_vocab, max_keyframes=8)
+        d = rng.integers(0, 2**32, size=(100, 8), dtype=np.uint32)
+        _, _, v = db.compute_bow(d, np.ones(100, bool))
+        db.add(3, v)
+        db.erase(3)
+        ids, _ = db.query(v)
+        assert len(ids) == 0

@@ -289,7 +289,9 @@ class MapStore:
         d = (bits[:, :, None, :] != bits[:, None, :, :]).sum(-1).astype(np.float64)
         pair_live = live[:, :, None] & live[:, None, :]
         d = np.where(pair_live, d, np.nan)
-        d[:, np.arange(M), np.arange(M)] = np.where(live, 0.0, np.nan)
+        # Diagonal = 0 unconditionally: keeps non-live rows from being
+        # all-NaN (their medians are discarded by the `live` mask below).
+        d[:, np.arange(M), np.arange(M)] = 0.0
         with np.errstate(all="ignore"):
             med = np.nanmedian(d, axis=2)  # [n, M]
         med = np.where(live, med, np.inf)

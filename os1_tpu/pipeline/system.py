@@ -22,6 +22,7 @@ class System:
     cfg: SlamConfig
     enable_mapping: bool = True  # False = localization-only mode
     store: MapStore = None
+    vocab = None  # Vocabulary | None (None -> packaged default)
     tracker: Tracker = field(init=False)
     mapper: LocalMapper = field(init=False)
 
@@ -32,7 +33,25 @@ class System:
         self.mapper = LocalMapper(cfg=self.cfg, store=self.store)
         self.tracker.on_new_keyframe = self._on_new_keyframe
 
+        # Place recognition: BoW database over the packaged vocabulary
+        # (System.cc:100 loads orbVoc.bin; here the default vocabulary, or a
+        # DBoW2 binary passed as `vocab`).
+        if self.vocab is None:
+            from ..vocab.dbow2 import default_vocabulary
+
+            self.vocab = default_vocabulary()
+        from ..vocab.database import KeyFrameDatabase
+        from .relocalization import Relocalizer
+
+        self.db = KeyFrameDatabase(self.vocab, self.cfg.map.max_keyframes)
+        self.tracker.relocalizer = Relocalizer(
+            cfg=self.cfg, store=self.store, db=self.db
+        )
+
     def _on_new_keyframe(self, kf: int, bootstrap: bool = False):
+        st = self.store
+        _, _, bow = self.db.compute_bow(st.kf_desc[kf], st.kf_feat_valid[kf])
+        self.db.add(kf, bow)
         if self.enable_mapping:
             self.mapper.process(kf, bootstrap=bootstrap)
 
@@ -57,6 +76,7 @@ class System:
 
     def reset(self):
         self.tracker.reset()
+        self.db.clear()
 
     @property
     def state(self) -> TrackingState:

@@ -190,6 +190,31 @@ class MapStore:
         self.pt_visible[ids] = 0
         self.pt_found[ids] = 0
 
+    def replace_point(self, loser: int, winner: int) -> None:
+        """Merge ``loser`` into ``winner`` (MapPoint::Replace,
+        MapPoint.cc:132-175): every observation of the loser moves to the
+        winner unless the winner is already observed there; the loser dies.
+        Tracking stats accumulate, as in the reference."""
+        if loser == winner or not self.pt_valid[loser]:
+            return
+        for s in range(self.pt_n_obs[loser]):
+            kf, f = int(self.pt_obs_kf[loser, s]), int(self.pt_obs_feat[loser, s])
+            if kf < 0:
+                continue
+            if winner in self.kf_obs_point[kf]:
+                # Winner already seen in this keyframe: just unbind.
+                if self.kf_obs_point[kf, f] == loser:
+                    self.kf_obs_point[kf, f] = -1
+            else:
+                self.kf_obs_point[kf, f] = -1
+                self.add_observation(winner, kf, f)
+        self.pt_found[winner] += self.pt_found[loser]
+        self.pt_visible[winner] += self.pt_visible[loser]
+        self.pt_valid[loser] = False
+        self.pt_obs_kf[loser] = -1
+        self.pt_obs_feat[loser] = -1
+        self.pt_n_obs[loser] = 0
+
     def cull_keyframe(self, kf: int) -> None:
         """SetBadFlag for a keyframe: release its observations and slot
         (reference KeyFrame::SetBadFlag, KeyFrame.cc:478-613; spanning-tree

@@ -33,6 +33,8 @@ class LocalMapper:
     cfg: SlamConfig
     store: MapStore
 
+    on_cull_keyframe = None  # callback(kf_id), wired by System (db.erase)
+
     def process(self, kf: int, bootstrap: bool = False) -> None:
         """Full local-mapping pass for a newly inserted keyframe
         (LocalMapping::Run body, LocalMapping.cc:58-88)."""
@@ -40,7 +42,9 @@ class LocalMapper:
             return  # the initial map was just globally optimized
         self.cull_recent_points(kf)
         self.create_new_points(kf)
+        self.search_in_neighbors(kf)
         self.local_ba(kf)
+        self.cull_keyframes(kf)
 
     # ------------------------------------------------------------------ #
     def cull_recent_points(self, kf: int) -> None:
@@ -139,6 +143,132 @@ class LocalMapper:
                 st.add_observation(int(p), kf, int(f))
                 st.add_observation(int(p), nb, int(nb_idx_np[j, f]))
             st.update_point_derived(ids, cfg.orb.scale_factor, cfg.orb.n_levels)
+
+    # ------------------------------------------------------------------ #
+    def search_in_neighbors(self, kf: int) -> None:
+        """Bidirectional duplicate-point fusion with 1st+2nd-ring covisible
+        neighbors (LocalMapping::SearchInNeighbors, LocalMapping.cc:369-447)."""
+        st = self.store
+        first = [int(k) for k in st.covisible_keyframes(kf, top=20)]
+        targets = list(first)
+        seen = set(first) | {kf}
+        for t in first[:5]:
+            for t2 in st.covisible_keyframes(t, top=5):
+                t2 = int(t2)
+                if t2 not in seen:
+                    targets.append(t2)
+                    seen.add(t2)
+        own = st.kf_obs_point[kf]
+        own = np.unique(own[own >= 0])
+        own = own[st.pt_valid[own]]
+        # Direction 1: this keyframe's points into every neighbor.
+        for t in targets:
+            self._fuse_into(t, own)
+        # Direction 2: all neighbors' points into this keyframe.
+        fuse = st.kf_obs_point[targets] if targets else np.empty((0, 0), np.int32)
+        fuse = np.unique(fuse[fuse >= 0]) if fuse.size else np.empty(0, np.int64)
+        fuse = fuse[st.pt_valid[fuse]] if fuse.size else fuse
+        self._fuse_into(kf, fuse)
+        touched = np.unique(np.concatenate([own, fuse])) if len(own) + len(fuse) else []
+        if len(touched):
+            touched = touched[st.pt_valid[touched]]
+            st.update_point_derived(touched, self.cfg.orb.scale_factor,
+                                    self.cfg.orb.n_levels)
+
+    _P_FUSE = 4096
+
+    def _fuse_into(self, target: int, pt_ids: np.ndarray) -> None:
+        """Project pt_ids into `target` and fuse matches (ORBmatcher::Fuse,
+        ORBmatcher.cc:806-1064 + MapPoint::Replace semantics)."""
+        st = self.store
+        cfg = self.cfg
+        if len(pt_ids) == 0:
+            return
+        pt_ids = np.asarray(pt_ids)[: self._P_FUSE]
+        P = self._P_FUSE
+        ids = np.zeros(P, np.int64)
+        ids[: len(pt_ids)] = pt_ids
+        valid = np.zeros(P, bool)
+        valid[: len(pt_ids)] = True
+
+        T = st.kf_T[target]
+        pc = st.pt_xyz[ids] @ T[:3, :3].T + T[:3, 3]
+        z = np.where(np.abs(pc[:, 2]) < 1e-8, 1e-8, pc[:, 2])
+        fx, fy, cx, cy = cfg.intr
+        uv = np.stack([fx * pc[:, 0] / z + cx, fy * pc[:, 1] / z + cy], 1)
+        valid &= pc[:, 2] > 0.05
+        valid &= (uv[:, 0] > 0) & (uv[:, 0] < float(cfg.camera.width))
+        valid &= (uv[:, 1] > 0) & (uv[:, 1] < float(cfg.camera.height))
+        # Exclude points already observed in the target.
+        already = (st.pt_obs_kf[ids] == target).any(1)
+        valid &= ~already
+
+        Ow = -T[:3, :3].T @ T[:3, 3]
+        dist = np.linalg.norm(st.pt_xyz[ids] - Ow, axis=1)
+        ratio = np.clip(st.pt_max_dist[ids] / np.clip(dist, 1e-6, None), 1e-6, None)
+        octv = np.clip(
+            np.ceil(np.log(ratio) / np.log(cfg.orb.scale_factor)).astype(np.int32),
+            0, cfg.orb.n_levels - 1,
+        )
+        from ..features.orb import FrameFeatures
+        from ..matching import matchers
+
+        n_feat = cfg.orb.n_features
+        feats = FrameFeatures(
+            xy=jnp.asarray(st.kf_xy[target]),
+            response=jnp.zeros(n_feat),
+            angle=jnp.asarray(st.kf_angle[target]),
+            octave=jnp.asarray(st.kf_octave[target]),
+            desc=jnp.asarray(st.kf_desc[target]),
+            valid=jnp.asarray(st.kf_feat_valid[target]),
+        )
+        res = matchers.fuse_candidates(
+            point_desc=jnp.asarray(st.pt_desc[ids]),
+            point_uv=jnp.asarray(uv.astype(np.float32)),
+            point_valid=jnp.asarray(valid),
+            point_octave=jnp.asarray(octv),
+            feats=feats,
+            radius_scale=jnp.asarray(
+                (cfg.orb.scale_factor ** octv).astype(np.float32)
+            ),
+        )
+        ok = np.asarray(res.ok)
+        idx = np.asarray(res.idx)
+        for slot in np.nonzero(ok & valid)[0]:
+            p = int(ids[slot])
+            f = int(idx[slot])
+            existing = int(st.kf_obs_point[target, f])
+            if existing >= 0 and st.pt_valid[existing]:
+                # Duplicate: keep the better-observed point (Fuse semantics).
+                if st.pt_n_obs[existing] >= st.pt_n_obs[p]:
+                    st.replace_point(p, existing)
+                else:
+                    st.replace_point(existing, p)
+            else:
+                st.add_observation(p, target, f)
+
+    # ------------------------------------------------------------------ #
+    def cull_keyframes(self, kf: int) -> None:
+        """KeyFrameCulling (LocalMapping.cc:556-603): a covisible keyframe
+        whose map points are >= 90% redundant (seen by >= 3 other keyframes)
+        is removed. The first two keyframes (map origin/gauge) are kept."""
+        st = self.store
+        th = self.cfg.th
+        protected = set(np.nonzero(st.kf_valid)[0][:2].tolist()) | {kf}
+        for c in st.covisible_keyframes(kf):
+            c = int(c)
+            if c in protected:
+                continue
+            obs = st.kf_obs_point[c]
+            pts = obs[obs >= 0]
+            pts = pts[st.pt_valid[pts]]
+            if len(pts) < 10:
+                continue
+            redundant = st.pt_n_obs[pts] >= 4  # 3 others + itself
+            if redundant.mean() > th.kf_cull_redundancy:
+                st.cull_keyframe(c)
+                if self.on_cull_keyframe is not None:
+                    self.on_cull_keyframe(c)
 
     # ------------------------------------------------------------------ #
     def local_ba(self, kf: int) -> None:

@@ -21,6 +21,7 @@ from .tracking import Tracker, TrackingState
 class System:
     cfg: SlamConfig
     enable_mapping: bool = True  # False = localization-only mode
+    enable_loop_closing: bool = True
     store: MapStore = None
     vocab = None  # Vocabulary | None (None -> packaged default)
     tracker: Tracker = field(init=False)
@@ -41,19 +42,26 @@ class System:
 
             self.vocab = default_vocabulary()
         from ..vocab.database import KeyFrameDatabase
+        from .loop_closing import LoopCloser
         from .relocalization import Relocalizer
 
         self.db = KeyFrameDatabase(self.vocab, self.cfg.map.max_keyframes)
         self.tracker.relocalizer = Relocalizer(
             cfg=self.cfg, store=self.store, db=self.db
         )
+        self.loop_closer = LoopCloser(cfg=self.cfg, store=self.store, db=self.db)
+        self.mapper.on_cull_keyframe = self.db.erase
+        self._kf_count = 0
 
     def _on_new_keyframe(self, kf: int, bootstrap: bool = False):
         st = self.store
         _, _, bow = self.db.compute_bow(st.kf_desc[kf], st.kf_feat_valid[kf])
         self.db.add(kf, bow)
+        self._kf_count += 1
         if self.enable_mapping:
             self.mapper.process(kf, bootstrap=bootstrap)
+            if self.enable_loop_closing and not bootstrap:
+                self.loop_closer.process(kf, self._kf_count)
 
     # ------------------------------------------------------------------ #
     def track_monocular(self, img, timestamp: float = 0.0):

@@ -135,3 +135,39 @@ class TestEndToEnd:
         for i, f in enumerate(frames[15:30]):
             state, _ = sys.track_monocular(f, timestamp=(15 + i) / 30.0)
         assert state == TrackingState.OK
+
+
+class TestFusionAndCulling:
+    def test_replace_point_merges_observations(self):
+        st = MapStore(MapConfig(max_keyframes=4, max_points=16, n_features=8))
+        ks = [
+            st.add_keyframe(np.eye(4), np.zeros((8, 2)), np.zeros(8),
+                            np.zeros(8, np.int32), np.zeros((8, 8), np.uint32),
+                            np.ones(8, bool))
+            for _ in range(3)
+        ]
+        a, b = (int(p) for p in st.alloc_points(2))
+        st.add_observation(a, ks[0], 0)
+        st.add_observation(a, ks[1], 1)
+        st.add_observation(b, ks[1], 2)
+        st.add_observation(b, ks[2], 3)
+        st.replace_point(a, b)
+        assert not st.pt_valid[a]
+        assert st.pt_n_obs[b] == 3  # ks[1] kept once (winner already there)
+        assert st.kf_obs_point[ks[0], 0] == b
+        assert st.kf_obs_point[ks[2], 3] == b
+
+    def test_cull_keyframe_releases_slot(self):
+        st = MapStore(MapConfig(max_keyframes=4, max_points=16, n_features=8))
+        k = st.add_keyframe(np.eye(4), np.zeros((8, 2)), np.zeros(8),
+                            np.zeros(8, np.int32), np.zeros((8, 8), np.uint32),
+                            np.ones(8, bool))
+        p = int(st.alloc_points(1)[0])
+        st.add_observation(p, k, 0)
+        st.cull_keyframe(k)
+        assert not st.kf_valid[k]
+        assert st.pt_n_obs[p] == 0
+        k2 = st.add_keyframe(np.eye(4), np.zeros((8, 2)), np.zeros(8),
+                             np.zeros(8, np.int32), np.zeros((8, 8), np.uint32),
+                             np.ones(8, bool))
+        assert k2 == k  # slot reused

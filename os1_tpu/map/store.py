@@ -144,7 +144,9 @@ class MapStore:
 
     def add_observation(self, pt: int, kf: int, feat: int) -> None:
         """Bind point <-> (kf, feature) both ways (MapPoint::AddObservation +
-        Frame::mvpMapPoints assignment)."""
+        Frame::mvpMapPoints assignment). Dead points are never bound."""
+        if not self.pt_valid[pt]:
+            return
         if self.kf_obs_point[kf, feat] == pt:
             return
         slot = self.pt_n_obs[pt]

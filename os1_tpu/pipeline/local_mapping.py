@@ -236,6 +236,8 @@ class LocalMapper:
         idx = np.asarray(res.idx)
         for slot in np.nonzero(ok & valid)[0]:
             p = int(ids[slot])
+            if not st.pt_valid[p]:
+                continue  # died as the loser of an earlier fuse this loop
             f = int(idx[slot])
             existing = int(st.kf_obs_point[target, f])
             if existing >= 0 and st.pt_valid[existing]:

@@ -91,6 +91,36 @@ class System:
         return self.tracker.state
 
     # ------------------------------------------------------------------ #
+    def save_map(self, base: str, options: int = 0):
+        """Serialize the map in Osmap format (reference Osmap::mapSave,
+        Osmap.cpp:68-178; wired to the viewer's save menu in the reference,
+        main.cc:147-182)."""
+        from ..io import osmap_io
+
+        return osmap_io.save_map(self.store, self.cfg, base, options)
+
+    def load_map(self, base: str):
+        """Load an Osmap-format map and resume in LOST state: the next
+        frames relocalize into the loaded map (Osmap::mapLoad semantics,
+        Osmap.cpp:180-291)."""
+        from ..io import osmap_io
+
+        header = osmap_io.load_map(self.store, self.cfg, base)
+        # Rebuild the BoW database for relocalization.
+        self.db.clear()
+        for k in np.nonzero(self.store.kf_valid)[0]:
+            _, _, bow = self.db.compute_bow(
+                self.store.kf_desc[k], self.store.kf_feat_valid[k]
+            )
+            self.db.add(int(k), bow)
+        self.tracker.state = TrackingState.LOST
+        self.tracker.last = None
+        self.tracker.velocity = None
+        kfs = np.nonzero(self.store.kf_valid)[0]
+        self.tracker.ref_kf = int(kfs[-1]) if len(kfs) else -1
+        return header
+
+    # ------------------------------------------------------------------ #
     def keyframe_trajectory(self):
         """[(timestamp, Twc 4x4)] for all live keyframes, sorted by time
         (SaveKeyFrameTrajectoryTUM source data, System.h:345-349)."""

@@ -28,6 +28,62 @@ def _run_ba_jit(prob, iters, recls):
     return run_ba(prob, iters=iters, reclassify_and_continue=recls)
 
 
+def global_bundle_adjustment(store: MapStore, cfg: SlamConfig, iters: int = 20) -> None:
+    """Full-map BA (Optimizer::GlobalBundleAdjustemnt [sic], Optimizer.cc:41-46:
+    all keyframes free except the first, all non-far points, 20 iterations).
+    Writes results back into the store and erases outlier observations."""
+    cams = [int(k) for k in np.nonzero(store.kf_valid)[0]]
+    if len(cams) < 2:
+        return
+    C = len(cams)
+    cam_slot = {c: i for i, c in enumerate(cams)}
+    pts = np.nonzero(store.pt_valid & ~store.pt_far & (store.pt_n_obs >= 2))[0]
+    P_cap = store.cfg.max_points
+    pts = pts[:P_cap]
+    P = len(pts)
+    if P < 20:
+        return
+    M = store.cfg.max_obs_per_point
+
+    okf = store.pt_obs_kf[pts]
+    oft = store.pt_obs_feat[pts]
+    lookup = np.full(store.cfg.max_keyframes, -1, np.int32)
+    for c, i in cam_slot.items():
+        lookup[c] = i
+    okf_c = np.clip(okf, 0, None)
+    oft_c = np.clip(oft, 0, None)
+    slots = lookup[okf_c]
+    valid = (okf >= 0) & (slots >= 0)
+
+    fixed = np.zeros(C, bool)
+    fixed[cam_slot[min(cams)]] = True  # gauge: first keyframe (Optimizer.cc:120)
+
+    prob = BAProblem(
+        cam_T=jnp.asarray(store.kf_T[cams]),
+        cam_fixed=jnp.asarray(fixed),
+        points=jnp.asarray(store.pt_xyz[pts]),
+        point_valid=jnp.ones(P, bool),
+        obs_cam=jnp.asarray(np.where(valid, slots, 0)),
+        obs_uv=jnp.asarray(store.kf_xy[okf_c, oft_c]),
+        obs_sigma2=jnp.asarray(cfg.sigma2_table[store.kf_octave[okf_c, oft_c]]),
+        obs_valid=jnp.asarray(valid),
+        intr=jnp.asarray(cfg.intr),
+    )
+    res = run_ba(prob, iters=iters)
+    new_T = np.asarray(res.cam_T)
+    for c, i in cam_slot.items():
+        if not fixed[i]:
+            store.kf_T[c] = new_T[i]
+    store.pt_xyz[pts] = np.asarray(res.points)
+    inl = np.asarray(res.obs_inlier)
+    out_i, out_s = np.nonzero(valid & ~inl)
+    for i, s in zip(out_i, out_s):
+        store.remove_observation(int(pts[i]), int(okf[i, s]))
+    dead = pts[store.pt_n_obs[pts] < 2]
+    if len(dead):
+        store.cull_points(dead)
+
+
 @dataclass
 class LocalMapper:
     cfg: SlamConfig
@@ -112,7 +168,7 @@ class LocalMapper:
             return
         unbound_nb = st.kf_feat_valid[all_nb] & (st.kf_obs_point[all_nb] < 0)
 
-        nb_idx, pts3, accepted, _ = tk.triangulate_with_neighbors_batch(
+        nb_idx, pts3, accepted, far = tk.triangulate_with_neighbors_batch(
             jnp.asarray(st.kf_T[kf]), jnp.asarray(st.kf_T[all_nb]),
             jnp.asarray(st.kf_xy[kf]), jnp.asarray(st.kf_desc[kf]),
             jnp.asarray(st.kf_angle[kf]), jnp.asarray(st.kf_octave[kf]),
@@ -121,8 +177,10 @@ class LocalMapper:
             jnp.asarray(st.kf_angle[all_nb]), jnp.asarray(st.kf_octave[all_nb]),
             jnp.asarray(unbound_nb),
             K, sigma2, jnp.float32(md),
+            enable_far=cfg.enable_far_points,
         )
         acc = np.asarray(accepted)  # [NB, N]
+        far_np = np.asarray(far)
         nb_idx_np = np.asarray(nb_idx)
         pts_np = np.asarray(pts3)
         taken = np.zeros(acc.shape[1], bool)  # features already triangulated
@@ -139,6 +197,7 @@ class LocalMapper:
             st.pt_xyz[ids] = pts_np[j, feats]
             st.pt_first_kf[ids] = kf
             st.pt_desc[ids] = st.kf_desc[kf, feats]
+            st.pt_far[ids] = far_np[j, feats]
             for p, f in zip(ids, feats):
                 st.add_observation(int(p), kf, int(f))
                 st.add_observation(int(p), nb, int(nb_idx_np[j, f]))
@@ -285,7 +344,9 @@ class LocalMapper:
         ]
         pts = st.kf_obs_point[local]
         pts = np.unique(pts[pts >= 0])
-        pts = pts[st.pt_valid[pts]][:P_BA]
+        # Far (quasi-infinity) points are excluded from BA, as the reference
+        # excludes them from optimization (Optimizer.cc:243).
+        pts = pts[st.pt_valid[pts] & ~st.pt_far[pts]][:P_BA]
         if len(pts) < 20:
             return
 

@@ -373,3 +373,11 @@ class LoopCloser:
             np.array(sorted(pt_done), np.int64),
             self.cfg.orb.scale_factor, self.cfg.orb.n_levels,
         )
+
+        # Global BA after the graph (the reference spawns it in a detached
+        # thread, LoopClosing::RunGlobalBundleAdjustment, LoopClosing.cc:653;
+        # synchronous here, optional).
+        if self.run_global_ba:
+            from .local_mapping import global_bundle_adjustment
+
+            global_bundle_adjustment(st, self.cfg)

@@ -51,6 +51,7 @@ class System:
         )
         self.loop_closer = LoopCloser(cfg=self.cfg, store=self.store, db=self.db)
         self.mapper.on_cull_keyframe = self.db.erase
+        self.tracker.on_reset = self.db.clear
         self._kf_count = 0
 
     def _on_new_keyframe(self, kf: int, bootstrap: bool = False):
@@ -83,8 +84,7 @@ class System:
         self.enable_mapping = True
 
     def reset(self):
-        self.tracker.reset()
-        self.db.clear()
+        self.tracker.reset()  # on_reset callback clears the BoW database
 
     @property
     def state(self) -> TrackingState:

@@ -57,6 +57,7 @@ class Tracker:
     last_kf_frame_id: int = 0
     last_reloc_frame_id: int = -10**9
     on_new_keyframe = None  # callback(kf_id) -> None, wired by System
+    on_reset = None  # callback() -> None, wired by System (clears BoW db)
     relocalizer = None  # callback(frame) -> (ok, Tcw, bind), wired by System
     trajectory: list = field(default_factory=list)
 
@@ -231,6 +232,10 @@ class Tracker:
                 frame_id=fid, timestamp=timestamp,
                 octave=np.asarray(frame.feats.octave),
             )
+            # Lost right after initialization: the young map is unreliable —
+            # reset and re-initialize (Tracking.cc:327-335).
+            if self.store.n_keyframes() <= 5:
+                self.reset()
             return
 
         Tcw, bind, n_inl = self._track_local_map(frame, Tcw, bind)
@@ -486,3 +491,5 @@ class Tracker:
         self.ref_kf = -1
         self.last_kf_frame_id = 0
         self.store.__post_init__()  # clear all map arrays
+        if self.on_reset is not None:
+            self.on_reset()

@@ -179,8 +179,7 @@ def bootstrap(
     return match, init
 
 
-@jax.jit
-def triangulate_with_neighbor(
+def _triangulate_with_neighbor_impl(
     T_new: jnp.ndarray,
     T_nb: jnp.ndarray,
     new_xy: jnp.ndarray,
@@ -196,13 +195,19 @@ def triangulate_with_neighbor(
     K: jnp.ndarray,
     sigma2_table: jnp.ndarray,
     median_depth_new: jnp.ndarray,
+    enable_far: bool = False,
 ):
     """Epipolar-matched triangulation of new map points between the new
     keyframe and one covisible neighbor (LocalMapping::CreateNewMapPoints,
     LocalMapping.cc:188-367).
 
+    With enable_far, low-parallax candidates that pass every other check are
+    routed to quasi-infinity along the new keyframe's ray — the os1
+    "puntos lejanos" experiment (LocalMapping.cc:259-291, MapPoint::plLejano
+    taxonomy).
+
     Returns (nb feature idx per new feature [-1 = none], points [N, 3],
-    accepted [N], baseline_ok scalar).
+    accepted [N], far [N]).
     """
     from ..features.orb import FrameFeatures
     from ..geometry import triangulation
@@ -249,26 +254,44 @@ def triangulate_with_neighbor(
             )
         return f
 
+    rays1 = None
+    if enable_far:
+        Kinv = jnp.linalg.inv(K)
+        ones = jnp.ones_like(new_xy[:, :1])
+        d_cam = jnp.concatenate([new_xy, ones], axis=1) @ Kinv.T
+        d_cam = d_cam / jnp.linalg.norm(d_cam, axis=-1, keepdims=True)
+        rays1 = d_cam @ T_new[:3, :3]  # R^T d: camera ray in world frame
+
     check = triangulation.validate(
         T_new, T_nb, X, new_xy, xy2,
         proj(T_new), proj(T_nb),
         sigma2_table[new_octave], sigma2_table[nb_octave[jnp.clip(match.idx, 0, None)]],
+        rays1=rays1, enable_far_points=enable_far,
     )
-    accepted = match.ok & check.valid & baseline_ok
+    far = match.ok & check.far & baseline_ok
+    accepted = (match.ok & check.valid & baseline_ok) | far
     nb_idx = jnp.where(accepted, match.idx, NEG)
-    return nb_idx, check.points, accepted, baseline_ok
+    return nb_idx, check.points, accepted, far
+
+
+triangulate_with_neighbor = functools.partial(
+    jax.jit, static_argnames=("enable_far",)
+)(_triangulate_with_neighbor_impl)
 
 
 # All covisible neighbors triangulated in ONE device call (the reference's
 # sequential per-neighbor loop, LocalMapping.cc:207-365, vmapped over the
 # neighbor axis). Padding slots pass T_nb == T_new -> zero baseline -> every
 # candidate rejected by the baseline gate.
-triangulate_with_neighbors_batch = jax.jit(
-    jax.vmap(
-        triangulate_with_neighbor,
+@functools.partial(jax.jit, static_argnames=("enable_far",))
+def triangulate_with_neighbors_batch(*args, enable_far=False):
+    def one(*a):
+        return _triangulate_with_neighbor_impl(*a, enable_far=enable_far)
+
+    return jax.vmap(
+        one,
         in_axes=(None, 0, None, None, None, None, None, 0, 0, 0, 0, 0, None, None, None),
-    )
-)
+    )(*args)
 
 
 @jax.jit

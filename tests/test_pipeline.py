@@ -171,3 +171,41 @@ class TestFusionAndCulling:
                              np.zeros(8, np.int32), np.zeros((8, 8), np.uint32),
                              np.ones(8, bool))
         assert k2 == k  # slot reused
+
+
+class TestFarPointsAndGlobalBA:
+    def test_far_points_enabled(self, sequence):
+        """With the os1 'puntos lejanos' experiment on, low-parallax
+        candidates land at quasi-infinity, flagged pt_far, and are excluded
+        from BA and covisibility."""
+        frames, poses = sequence
+        sys = make_system()
+        sys.cfg.enable_far_points = True
+        for i, f in enumerate(frames[:25]):
+            state, _ = sys.track_monocular(f, timestamp=i / 30.0)
+        assert sys.state == TrackingState.OK
+        st = sys.store
+        far = st.pt_valid & st.pt_far
+        if far.any():  # far points are opportunistic; validate when present
+            dist = np.linalg.norm(st.pt_xyz[far], axis=1)
+            assert (dist > 1e6).all()
+
+    def test_global_ba_improves_or_keeps_map(self, sequence):
+        from os1_tpu.pipeline.local_mapping import global_bundle_adjustment
+
+        frames, poses = sequence
+        sys = make_system()
+        for i, f in enumerate(frames[:25]):
+            sys.track_monocular(f, timestamp=i / 30.0)
+        assert sys.state == TrackingState.OK
+        st = sys.store
+        before = st.kf_T.copy()
+        global_bundle_adjustment(st, sys.cfg, iters=10)
+        assert np.isfinite(st.kf_T[st.kf_valid]).all()
+        assert np.isfinite(st.pt_xyz[st.pt_valid]).all()
+        # Gauge keyframe unmoved.
+        k0 = np.nonzero(st.kf_valid)[0][0]
+        np.testing.assert_array_equal(st.kf_T[k0], before[k0])
+        # Map still trackable afterwards.
+        state, _ = sys.track_monocular(frames[25], timestamp=25 / 30.0)
+        assert state == TrackingState.OK

@@ -64,6 +64,26 @@ def save_binary(vocab: Vocabulary, path: str) -> None:
 def load_binary(path: str) -> Vocabulary:
     import jax.numpy as jnp
 
+    # Native fast path: one mmap'd C++ pass (the binary-loader speed the
+    # reference added orbVoc.bin for; the Python loop below is the fallback).
+    try:
+        from ..native import load_vocab_binary_native
+
+        loaded = load_vocab_binary_native(path)
+    except Exception:
+        loaded = None
+    if loaded is not None:
+        desc, children, weight, word, n_words, kb, L = loaded
+        return Vocabulary(
+            node_desc=jnp.asarray(desc),
+            node_children=jnp.asarray(children),
+            node_weight=jnp.asarray(weight),
+            node_word=jnp.asarray(word),
+            n_words=n_words,
+            branching=kb,
+            depth=L,
+        )
+
     with open(path, "rb") as f:
         header = f.read(4)
         k, L = header[0], header[1]

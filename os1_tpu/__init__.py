@@ -27,6 +27,13 @@ __version__ = "0.1.0"
 
 import jax as _jax
 
+# Persistent XLA compilation cache: the pipeline's programs take minutes to
+# compile and sub-milliseconds to run — cache them across processes (see
+# utils/cache.py; disable with OS1_NO_COMPILATION_CACHE=1).
+from .utils.cache import enable_compilation_cache as _enable_cache
+
+_enable_cache()
+
 # Geometry accuracy is the product: on TPU the default matmul precision runs
 # f32 matmuls through bf16 passes, which measurably corrupts small-matrix
 # geometry (triangulation error 6x worse, Sim3 exp/log roundtrip ~0.04

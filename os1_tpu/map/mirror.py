@@ -1,0 +1,92 @@
+"""Device-resident mirror of the map store.
+
+The host-side :class:`~os1_tpu.map.store.MapStore` owns all bookkeeping
+(allocation, observation tables, culling) in numpy; per-frame device programs
+must NOT re-upload map slices every frame — over a tunneled TPU each small
+host->device transfer costs ~1 ms, and the tracker needs ~25 of them, which
+alone caps tracking at ~30 fps.
+
+The mirror keeps the arrays the per-frame program reads resident in HBM and
+refreshes them only when the map actually changes (keyframe insertion, local
+mapping, loop closure, load/reset) — the TPU-native analogue of the
+reference's tracking thread reading the map under ``Map::mMutexMapUpdate``
+between frames (reference Map.h:140, Tracking.cc:133): a frame sees one
+consistent map version; map mutations publish a new version between frames.
+
+Refresh cost: full point block ~1.3 MB (~2 ms once per map event), one
+keyframe row ~60 KB. Per tracked frame: zero map bytes move.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .store import MapStore
+
+
+@dataclass
+class DeviceMirror:
+    store: MapStore
+    # --- point block (refreshed wholesale on map events) ---
+    pt_xyz: jnp.ndarray = field(init=False)  # [P, 3] f32
+    pt_desc: jnp.ndarray = field(init=False)  # [P, 8] u32
+    pt_valid: jnp.ndarray = field(init=False)  # [P] bool
+    pt_normal: jnp.ndarray = field(init=False)  # [P, 3] f32
+    pt_min_dist: jnp.ndarray = field(init=False)  # [P] f32
+    pt_max_dist: jnp.ndarray = field(init=False)  # [P] f32
+    pt_n_obs: jnp.ndarray = field(init=False)  # [P] i32
+    pt_obs_kf: jnp.ndarray = field(init=False)  # [P, M] i32
+    # --- keyframe block (rows refreshed as keyframes change) ---
+    kf_T: jnp.ndarray = field(init=False)  # [K, 4, 4] f32
+    kf_valid: jnp.ndarray = field(init=False)  # [K] bool
+    kf_xy: jnp.ndarray = field(init=False)  # [K, N, 2] f32
+    kf_angle: jnp.ndarray = field(init=False)  # [K, N] f32
+    kf_octave: jnp.ndarray = field(init=False)  # [K, N] i32
+    kf_desc: jnp.ndarray = field(init=False)  # [K, N, 8] u32
+    kf_feat_valid: jnp.ndarray = field(init=False)  # [K, N] bool
+    kf_obs_point: jnp.ndarray = field(init=False)  # [K, N] i32
+
+    version: int = field(init=False, default=0)
+
+    def __post_init__(self):
+        self.refresh()
+
+    # ------------------------------------------------------------------ #
+    def refresh(self) -> None:
+        """Re-publish every mirrored array from the host store. Called after
+        any batch of map mutations (keyframe insertion + local mapping pass,
+        loop correction, reset, map load)."""
+        st = self.store
+        self.pt_xyz = jnp.asarray(st.pt_xyz)
+        self.pt_desc = jnp.asarray(st.pt_desc)
+        self.pt_valid = jnp.asarray(st.pt_valid)
+        self.pt_normal = jnp.asarray(st.pt_normal)
+        self.pt_min_dist = jnp.asarray(st.pt_min_dist)
+        self.pt_max_dist = jnp.asarray(st.pt_max_dist)
+        self.pt_n_obs = jnp.asarray(st.pt_n_obs)
+        self.pt_obs_kf = jnp.asarray(st.pt_obs_kf)
+        self.kf_T = jnp.asarray(st.kf_T)
+        self.kf_valid = jnp.asarray(st.kf_valid)
+        self.kf_xy = jnp.asarray(st.kf_xy)
+        self.kf_angle = jnp.asarray(st.kf_angle)
+        self.kf_octave = jnp.asarray(st.kf_octave)
+        self.kf_desc = jnp.asarray(st.kf_desc)
+        self.kf_feat_valid = jnp.asarray(st.kf_feat_valid)
+        self.kf_obs_point = jnp.asarray(st.kf_obs_point)
+        self.version += 1
+
+    def refresh_points(self) -> None:
+        """Re-publish only the point block (pose-graph-free map events)."""
+        st = self.store
+        self.pt_xyz = jnp.asarray(st.pt_xyz)
+        self.pt_desc = jnp.asarray(st.pt_desc)
+        self.pt_valid = jnp.asarray(st.pt_valid)
+        self.pt_normal = jnp.asarray(st.pt_normal)
+        self.pt_min_dist = jnp.asarray(st.pt_min_dist)
+        self.pt_max_dist = jnp.asarray(st.pt_max_dist)
+        self.pt_n_obs = jnp.asarray(st.pt_n_obs)
+        self.pt_obs_kf = jnp.asarray(st.pt_obs_kf)
+        self.version += 1

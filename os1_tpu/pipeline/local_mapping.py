@@ -204,10 +204,20 @@ class LocalMapper:
             st.update_point_derived(ids, cfg.orb.scale_factor, cfg.orb.n_levels)
 
     # ------------------------------------------------------------------ #
+    _P_FUSE = 4096  # candidate capacity per fusion target
+    _T_FUSE = 46  # padded target capacity: 20 first-ring + 5x5 second-ring + self
+
     def search_in_neighbors(self, kf: int) -> None:
         """Bidirectional duplicate-point fusion with 1st+2nd-ring covisible
-        neighbors (LocalMapping::SearchInNeighbors, LocalMapping.cc:369-447)."""
+        neighbors (LocalMapping::SearchInNeighbors, LocalMapping.cc:369-447).
+
+        All (target, candidate-set) pairs — every neighbor receiving this
+        keyframe's points, plus this keyframe receiving every neighbor's
+        points — are matched in ONE padded device call (tk.fuse_batch); only
+        the merge/Replace bookkeeping runs on host, in the reference's
+        sequential order."""
         st = self.store
+        cfg = self.cfg
         first = [int(k) for k in st.covisible_keyframes(kf, top=20)]
         targets = list(first)
         seen = set(first) | {kf}
@@ -219,84 +229,70 @@ class LocalMapper:
                     seen.add(t2)
         own = st.kf_obs_point[kf]
         own = np.unique(own[own >= 0])
-        own = own[st.pt_valid[own]]
-        # Direction 1: this keyframe's points into every neighbor.
-        for t in targets:
-            self._fuse_into(t, own)
-        # Direction 2: all neighbors' points into this keyframe.
+        own = own[st.pt_valid[own]][: self._P_FUSE]
         fuse = st.kf_obs_point[targets] if targets else np.empty((0, 0), np.int32)
         fuse = np.unique(fuse[fuse >= 0]) if fuse.size else np.empty(0, np.int64)
-        fuse = fuse[st.pt_valid[fuse]] if fuse.size else fuse
-        self._fuse_into(kf, fuse)
+        fuse = (fuse[st.pt_valid[fuse]] if fuse.size else fuse)[: self._P_FUSE]
+        if len(own) == 0 and len(fuse) == 0:
+            return
+
+        # Shared point slice: union of both candidate sets, uploaded once.
+        sl = np.union1d(own, fuse).astype(np.int64)
+        pos = np.zeros(st.cfg.max_points, np.int32)
+        pos[sl] = np.arange(len(sl), dtype=np.int32)
+
+        T_cap, C = self._T_FUSE, self._P_FUSE
+        rows = (targets + [kf])[:T_cap]
+        n_rows = len(rows)
+        row_kfs = np.zeros(T_cap, np.int64)
+        row_kfs[:n_rows] = rows
+        cand_idx = np.zeros((T_cap, C), np.int32)
+        cand_valid = np.zeros((T_cap, C), bool)
+        for r, t in enumerate(rows):
+            ids = own if t != kf else fuse
+            m = len(ids)
+            if m == 0:
+                continue
+            cand_idx[r, :m] = pos[ids]
+            # Exclude points already observed in this target.
+            cand_valid[r, :m] = ~(st.pt_obs_kf[ids] == t).any(1)
+
+        ok, idx = tk.fuse_batch(
+            jnp.asarray(st.kf_T[row_kfs]),
+            jnp.asarray(st.kf_xy[row_kfs]),
+            jnp.asarray(st.kf_angle[row_kfs]),
+            jnp.asarray(st.kf_octave[row_kfs]),
+            jnp.asarray(st.kf_desc[row_kfs]),
+            jnp.asarray(st.kf_feat_valid[row_kfs] & (np.arange(T_cap) < n_rows)[:, None]),
+            jnp.asarray(cand_idx), jnp.asarray(cand_valid),
+            jnp.asarray(st.pt_xyz[sl]) if len(sl) else jnp.zeros((1, 3), jnp.float32),
+            jnp.asarray(st.pt_desc[sl]) if len(sl) else jnp.zeros((1, 8), jnp.uint32),
+            jnp.asarray(st.pt_max_dist[sl]) if len(sl) else jnp.zeros(1, jnp.float32),
+            jnp.asarray(cfg.intr),
+            jnp.float32(cfg.camera.width), jnp.float32(cfg.camera.height),
+            jnp.float32(cfg.orb.scale_factor), n_levels=cfg.orb.n_levels,
+        )
+        ok = np.asarray(ok)
+        idx = np.asarray(idx)
+        for r, t in enumerate(rows):
+            ids = own if t != kf else fuse
+            self._apply_fuse(t, ids, ok[r, : len(ids)], idx[r, : len(ids)])
+
         touched = np.unique(np.concatenate([own, fuse])) if len(own) + len(fuse) else []
         if len(touched):
             touched = touched[st.pt_valid[touched]]
             st.update_point_derived(touched, self.cfg.orb.scale_factor,
                                     self.cfg.orb.n_levels)
 
-    _P_FUSE = 4096
-
-    def _fuse_into(self, target: int, pt_ids: np.ndarray) -> None:
-        """Project pt_ids into `target` and fuse matches (ORBmatcher::Fuse,
-        ORBmatcher.cc:806-1064 + MapPoint::Replace semantics)."""
+    def _apply_fuse(self, target: int, ids: np.ndarray, ok: np.ndarray,
+                    idx: np.ndarray) -> None:
+        """Merge matched duplicates into `target` (ORBmatcher::Fuse apply
+        phase + MapPoint::Replace semantics, MapPoint.cc:132-175)."""
         st = self.store
-        cfg = self.cfg
-        if len(pt_ids) == 0:
-            return
-        pt_ids = np.asarray(pt_ids)[: self._P_FUSE]
-        P = self._P_FUSE
-        ids = np.zeros(P, np.int64)
-        ids[: len(pt_ids)] = pt_ids
-        valid = np.zeros(P, bool)
-        valid[: len(pt_ids)] = True
-
-        T = st.kf_T[target]
-        pc = st.pt_xyz[ids] @ T[:3, :3].T + T[:3, 3]
-        z = np.where(np.abs(pc[:, 2]) < 1e-8, 1e-8, pc[:, 2])
-        fx, fy, cx, cy = cfg.intr
-        uv = np.stack([fx * pc[:, 0] / z + cx, fy * pc[:, 1] / z + cy], 1)
-        valid &= pc[:, 2] > 0.05
-        valid &= (uv[:, 0] > 0) & (uv[:, 0] < float(cfg.camera.width))
-        valid &= (uv[:, 1] > 0) & (uv[:, 1] < float(cfg.camera.height))
-        # Exclude points already observed in the target.
-        already = (st.pt_obs_kf[ids] == target).any(1)
-        valid &= ~already
-
-        Ow = -T[:3, :3].T @ T[:3, 3]
-        dist = np.linalg.norm(st.pt_xyz[ids] - Ow, axis=1)
-        ratio = np.clip(st.pt_max_dist[ids] / np.clip(dist, 1e-6, None), 1e-6, None)
-        octv = np.clip(
-            np.ceil(np.log(ratio) / np.log(cfg.orb.scale_factor)).astype(np.int32),
-            0, cfg.orb.n_levels - 1,
-        )
-        from ..features.orb import FrameFeatures
-        from ..matching import matchers
-
-        n_feat = cfg.orb.n_features
-        feats = FrameFeatures(
-            xy=jnp.asarray(st.kf_xy[target]),
-            response=jnp.zeros(n_feat),
-            angle=jnp.asarray(st.kf_angle[target]),
-            octave=jnp.asarray(st.kf_octave[target]),
-            desc=jnp.asarray(st.kf_desc[target]),
-            valid=jnp.asarray(st.kf_feat_valid[target]),
-        )
-        res = matchers.fuse_candidates(
-            point_desc=jnp.asarray(st.pt_desc[ids]),
-            point_uv=jnp.asarray(uv.astype(np.float32)),
-            point_valid=jnp.asarray(valid),
-            point_octave=jnp.asarray(octv),
-            feats=feats,
-            radius_scale=jnp.asarray(
-                (cfg.orb.scale_factor ** octv).astype(np.float32)
-            ),
-        )
-        ok = np.asarray(res.ok)
-        idx = np.asarray(res.idx)
-        for slot in np.nonzero(ok & valid)[0]:
+        for slot in np.nonzero(ok)[0]:
             p = int(ids[slot])
             if not st.pt_valid[p]:
-                continue  # died as the loser of an earlier fuse this loop
+                continue  # died as the loser of an earlier fuse this pass
             f = int(idx[slot])
             existing = int(st.kf_obs_point[target, f])
             if existing >= 0 and st.pt_valid[existing]:

@@ -11,6 +11,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from ..map.mirror import DeviceMirror
 from ..map.store import MapStore
 from .config import SlamConfig
 from .local_mapping import LocalMapper
@@ -33,6 +34,11 @@ class System:
         self.tracker = Tracker(cfg=self.cfg, store=self.store)
         self.mapper = LocalMapper(cfg=self.cfg, store=self.store)
         self.tracker.on_new_keyframe = self._on_new_keyframe
+        # Device-resident map mirror: per-frame tracking reads the map from
+        # HBM; every map mutation below ends by re-publishing it (the
+        # TPU-native Map::mMutexMapUpdate — see map/mirror.py).
+        self.mirror = DeviceMirror(self.store)
+        self.tracker.mirror = self.mirror
 
         # Place recognition: BoW database over the packaged vocabulary
         # (System.cc:100 loads orbVoc.bin; here the default vocabulary, or a
@@ -51,8 +57,12 @@ class System:
         )
         self.loop_closer = LoopCloser(cfg=self.cfg, store=self.store, db=self.db)
         self.mapper.on_cull_keyframe = self.db.erase
-        self.tracker.on_reset = self.db.clear
+        self.tracker.on_reset = self._on_reset
         self._kf_count = 0
+
+    def _on_reset(self):
+        self.db.clear()
+        self.mirror.refresh()
 
     def _on_new_keyframe(self, kf: int, bootstrap: bool = False):
         st = self.store
@@ -63,6 +73,7 @@ class System:
             self.mapper.process(kf, bootstrap=bootstrap)
             if self.enable_loop_closing and not bootstrap:
                 self.loop_closer.process(kf, self._kf_count)
+        self.mirror.refresh()
 
     # ------------------------------------------------------------------ #
     def track_monocular(self, img, timestamp: float = 0.0):
@@ -118,6 +129,7 @@ class System:
         self.tracker.velocity = None
         kfs = np.nonzero(self.store.kf_valid)[0]
         self.tracker.ref_kf = int(kfs[-1]) if len(kfs) else -1
+        self.mirror.refresh()
         return header
 
     # ------------------------------------------------------------------ #

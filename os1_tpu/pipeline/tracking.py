@@ -48,6 +48,7 @@ class TrackedFrame:
 class Tracker:
     cfg: SlamConfig
     store: MapStore
+    mirror = None  # DeviceMirror | None, wired by System (fused frame path)
     state: TrackingState = TrackingState.NO_IMAGES_YET
     last: TrackedFrame | None = None
     init_ref: TrackedFrame | None = None
@@ -63,6 +64,7 @@ class Tracker:
 
     def __post_init__(self):
         self._build = make_frame_builder(self.cfg.orb)
+        self._fused = None  # built on first fused frame (needs self.mirror)
         self._key = jax.random.PRNGKey(0)
         self._intr = jnp.asarray(self.cfg.intr)
         self._K = jnp.asarray(
@@ -222,9 +224,12 @@ class Tracker:
     # ------------------------------------------------------------------ #
     def _track_frame(self, frame, fid, timestamp):
         th = self.cfg.th
-        ok, Tcw, bind, n_inl = self._track_motion_model(frame)
-        if not ok:
-            ok, Tcw, bind, n_inl = self._track_reference_kf(frame)
+        if self.mirror is not None:
+            ok, Tcw, bind, n_inl = self._track_frame_device(frame)
+        else:
+            ok, Tcw, bind, n_inl = self._track_motion_model(frame)
+            if not ok:
+                ok, Tcw, bind, n_inl = self._track_reference_kf(frame)
         if not ok:
             self.state = TrackingState.LOST
             self.last = TrackedFrame(
@@ -238,7 +243,8 @@ class Tracker:
                 self.reset()
             return
 
-        Tcw, bind, n_inl = self._track_local_map(frame, Tcw, bind)
+        if self.mirror is None:
+            Tcw, bind, n_inl = self._track_local_map(frame, Tcw, bind)
         if n_inl < th.min_localmap_inliers:
             self.state = TrackingState.LOST
             self.last = TrackedFrame(
@@ -321,6 +327,70 @@ class Tracker:
         bind_np = np.asarray(bind)
         g_bind = np.where(bind_np >= 0, obs_pt[np.clip(bind_np, 0, None)], -1)
         return True, np.asarray(T), g_bind, n
+
+    # ------------------------------------------------------------------ #
+    # fused device frame path (tracking_fused.py): one dispatch, one sync
+    # ------------------------------------------------------------------ #
+    def _track_frame_device(self, frame):
+        """Motion-model + refKF-fallback + local-map tracking as ONE device
+        program over the HBM-resident map mirror. Returns (pre_ok, Tcw,
+        bind, n_localmap_inliers) — pose/bind are post-local-map."""
+        from . import tracking_fused
+
+        if self._fused is None:
+            self._fused = tracking_fused.make_fused_tracker(self.cfg)
+        mir = self.mirror
+        st = self.store
+        th = self.cfg.th
+        has_vel = self.velocity is not None and self.last is not None
+        pred_T = (
+            (self.velocity @ self.last.Tcw) if has_vel else self.last.Tcw
+        ).astype(np.float32)
+        local_ids, local_valid = self._local_candidates(self.last.bind)
+
+        out = jax.device_get(
+            self._fused(
+                mir.pt_xyz, mir.pt_desc, mir.pt_valid, mir.pt_normal,
+                mir.pt_min_dist, mir.pt_max_dist,
+                mir.kf_desc, mir.kf_angle, mir.kf_obs_point,
+                frame, self.cfg.camera, self._intr,
+                jnp.asarray(pred_T),
+                jnp.asarray(self.last.Tcw.astype(np.float32)),
+                jnp.asarray(self.last.bind.astype(np.int32)),
+                self.last.data.feats.octave,
+                jnp.int32(max(self.ref_kf, 0)),
+                jnp.asarray(local_ids), jnp.asarray(local_valid),
+                jnp.asarray(has_vel),
+            )
+        )
+        if not bool(out["pre_ok"]):
+            return False, None, None, 0
+        bind = out["bind"].astype(np.int64)
+        # Tracking stats for culling (MapPoint::IncreaseVisible/Found).
+        st.pt_visible[local_ids[out["visible"]]] += 1
+        st.pt_found[bind[bind >= 0]] += 1
+        return True, out["Tcw"].astype(np.float32), bind, int(out["n_inliers"])
+
+    def _local_candidates(self, bind):
+        """Padded local-map candidate ids for the fused program: points of
+        the covisibility neighborhood of the previous frame's bindings,
+        always unioned with the reference keyframe's own points (they are
+        the fallback path's match set)."""
+        th = self.cfg.th
+        st = self.store
+        pts, _ = self._local_point_ids(bind)
+        if self.ref_kf >= 0:
+            rp = st.kf_obs_point[self.ref_kf]
+            rp = rp[rp >= 0]
+            rp = rp[st.pt_valid[rp]]
+            pts = np.union1d(pts, rp)
+        L = th.max_local_points
+        ids = np.zeros(L, np.int32)
+        valid = np.zeros(L, bool)
+        m = min(len(pts), L)
+        ids[:m] = pts[:m]
+        valid[:m] = True
+        return ids, valid
 
     def _local_point_ids(self, bind):
         """Local map = points seen by keyframes sharing points with the

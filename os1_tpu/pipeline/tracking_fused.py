@@ -1,0 +1,168 @@
+"""Fused per-frame tracking: the whole OK-state frame path in ONE device
+program against the HBM-resident map mirror.
+
+The unfused path (tracking.py + tracking_kernels.py) runs 2-4 separate
+device programs per frame and uploads ~20 host-gathered map slices — over a
+tunneled TPU each small transfer costs ~1 ms, so transfers alone eat the
+real-time budget. Here the map lives on device (map/mirror.py) and one
+program covers the reference's entire per-frame pipeline after extraction
+(Tracking.cc:231-342):
+
+  1. TrackWithMotionModel (Tracking.cc:594-651), with the reference's
+     double-radius retry (Tracking.cc:617) as a lax.cond;
+  2. TrackReferenceKeyFrame fallback (Tracking.cc:540-582) as a lax.cond
+     taken only when motion tracking fails;
+  3. TrackLocalMap (Tracking.cc:653-694): frustum-gated projection matching
+     of the local point set + the frame's third pose optimization.
+
+Per frame the host uploads only the image, the previous frame's bindings
+[N] and the local candidate ids [L]; it downloads one small result pytree
+(pose, global bindings, counts, visibility stats) — a single round trip.
+
+Local-map selection note: the reference picks local keyframes from the
+CURRENT frame's post-motion-model matches (Tracking.cc:859-967). Those
+matches are by construction a subset of the points bound to the PREVIOUS
+frame, so the host selects local candidates from the previous frame's
+bindings (plus the reference keyframe's neighborhood) before dispatch —
+same covisibility neighborhood, one frame earlier, zero mid-frame syncs.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..geometry import camera as cam_mod
+from .config import SlamConfig
+from .frame import FrameData
+from .tracking_kernels import NEG, _track_points_core, _track_reference_kf_core
+
+
+def make_fused_tracker(cfg: SlamConfig):
+    """Build the jitted fused step for a fixed config. Closes over all
+    thresholds (they are compile-time constants, as in the reference)."""
+    th = cfg.th
+    scale_factor = cfg.orb.scale_factor
+    n_levels = cfg.orb.n_levels
+
+    @jax.jit
+    def step(
+        # --- device-resident map mirror (map/mirror.py) ---
+        pt_xyz: jnp.ndarray,  # [P, 3]
+        pt_desc: jnp.ndarray,  # [P, 8]
+        pt_valid: jnp.ndarray,  # [P]
+        pt_normal: jnp.ndarray,  # [P, 3]
+        pt_min_dist: jnp.ndarray,  # [P]
+        pt_max_dist: jnp.ndarray,  # [P]
+        kf_desc: jnp.ndarray,  # [K, N, 8]
+        kf_angle: jnp.ndarray,  # [K, N]
+        kf_obs_point: jnp.ndarray,  # [K, N]
+        # --- current frame (device) ---
+        frame: FrameData,
+        cam: cam_mod.Camera,
+        intr: jnp.ndarray,
+        # --- small per-frame state (host uploads) ---
+        pred_T: jnp.ndarray,  # [4, 4] velocity-predicted pose
+        last_T: jnp.ndarray,  # [4, 4] last frame pose (refKF fallback init)
+        last_bind: jnp.ndarray,  # [N] i32 global point id per last-frame feature
+        last_octave: jnp.ndarray,  # [N] i32 last-frame feature octaves
+        ref_kf: jnp.ndarray,  # scalar i32
+        local_ids: jnp.ndarray,  # [L] i32 local-map candidate point ids
+        local_valid: jnp.ndarray,  # [L] bool
+        has_velocity: jnp.ndarray,  # scalar bool
+    ):
+        P = pt_xyz.shape[0]
+        n_feat = frame.xy_un.shape[0]
+
+        # ---------------- stage 1: motion-model tracking ---------------- #
+        m_ids = jnp.clip(last_bind, 0, P - 1)
+        m_live = (last_bind >= 0) & pt_valid[m_ids] & has_velocity
+        m_xyz = pt_xyz[m_ids]
+        no_prev = jnp.zeros(n_feat, bool)
+        zeros3 = jnp.zeros((n_feat, 3), jnp.float32)
+
+        def run_motion(radius):
+            r = _track_points_core(
+                pred_T, m_xyz, pt_desc[m_ids], m_live, last_octave,
+                pt_normal[m_ids], pt_min_dist[m_ids], pt_max_dist[m_ids],
+                no_prev, zeros3, no_prev,
+                frame, cam, intr, radius,
+                scale_factor=scale_factor, n_levels=n_levels,
+                use_frustum=False, ratio=0.9,
+            )
+            return r[0], r[1], r[3]
+
+        # Radius-escalation retry (Tracking.cc:617: th -> 2*th when weak) as
+        # a while_loop so the matching+opt body is traced/compiled ONCE.
+        def retry_cond(s):
+            attempt, radius, (_, _, n1) = s
+            return (attempt < 2) & (n1 < th.min_motion_inliers + 10)
+
+        def retry_body(s):
+            attempt, radius, _ = s
+            return attempt + 1, jnp.float32(th.motion_search_radius_retry), run_motion(radius)
+
+        zero_res = (
+            pred_T,
+            jnp.full(n_feat, NEG),
+            jnp.int32(-1),  # sentinel: forces the first iteration
+        )
+        _, _, (T1, b1, n1) = lax.while_loop(
+            retry_cond,
+            retry_body,
+            (jnp.int32(0), jnp.float32(th.motion_search_radius), zero_res),
+        )
+        n1 = jnp.maximum(n1, 0)
+        g1 = jnp.where(b1 >= 0, last_bind[jnp.clip(b1, 0, n_feat - 1)], NEG)
+        ok1 = n1 >= th.min_motion_inliers
+
+        # -------------- stage 2: reference-KF fallback ------------------ #
+        def refkf_branch():
+            obs = kf_obs_point[ref_kf]  # [N]
+            has_pt = (obs >= 0) & pt_valid[jnp.clip(obs, 0, P - 1)]
+            T2, b2, _, n2 = _track_reference_kf_core(
+                last_T, kf_desc[ref_kf], has_pt,
+                pt_xyz[jnp.clip(obs, 0, P - 1)], kf_angle[ref_kf],
+                frame, intr,
+            )
+            g2 = jnp.where(b2 >= 0, obs[jnp.clip(b2, 0, n_feat - 1)], NEG)
+            return T2, g2, n2, n2 >= th.min_refkf_inliers
+
+        T_pre, g_pre, n_pre, ok_pre = lax.cond(
+            ok1, lambda: (T1, g1, n1, True), refkf_branch
+        )
+
+        # ---------------- stage 3: local-map tracking ------------------- #
+        l_ids = jnp.clip(local_ids, 0, P - 1)
+        prev_bound = g_pre >= 0
+        # Candidate points already bound to this frame are skipped
+        # (reference mnLastFrameSeen gate, Tracking.cc:795).
+        bound_now = (
+            jnp.zeros(P, bool)
+            .at[jnp.clip(g_pre, 0, P - 1)]
+            .max(prev_bound, mode="drop")
+        )
+        cand = local_valid & pt_valid[l_ids] & ~bound_now[l_ids]
+        prev_xyz = pt_xyz[jnp.clip(g_pre, 0, P - 1)]
+
+        T3, lb, inlier, n3, visible = _track_points_core(
+            T_pre, pt_xyz[l_ids], pt_desc[l_ids], cand,
+            jnp.zeros(local_ids.shape[0], jnp.int32),
+            pt_normal[l_ids], pt_min_dist[l_ids], pt_max_dist[l_ids],
+            prev_bound, prev_xyz, prev_bound,
+            frame, cam, intr, jnp.float32(th.localmap_search_radius),
+            scale_factor=scale_factor, n_levels=n_levels,
+            use_frustum=True, ratio=0.8,
+        )
+        L = local_ids.shape[0]
+        g3 = jnp.where(
+            lb >= 0,
+            local_ids[jnp.clip(lb, 0, L - 1)],
+            jnp.where(prev_bound & inlier, g_pre, NEG),
+        )
+        return dict(
+            Tcw=T3, bind=g3, n_inliers=n3, pre_ok=ok_pre, n_pre=n_pre,
+            used_motion=ok1, visible=visible & cand,
+        )
+
+    return step

@@ -34,8 +34,7 @@ def _bind_features(n_feat: int, match: mcore.MatchResult, pt_slots: jnp.ndarray)
     return bind[:n_feat]
 
 
-@functools.partial(jax.jit, static_argnames=("use_frustum", "n_levels"))
-def track_points(
+def _track_points_core(
     T0: jnp.ndarray,
     pt_xyz: jnp.ndarray,  # [P, 3]
     pt_desc: jnp.ndarray,  # [P, 8]
@@ -124,8 +123,12 @@ def track_points(
     return opt.Tcw, bind, inlier, jnp.sum(inlier), visible
 
 
-@jax.jit
-def track_reference_kf(
+track_points = functools.partial(jax.jit, static_argnames=("use_frustum", "n_levels"))(
+    _track_points_core
+)
+
+
+def _track_reference_kf_core(
     T0: jnp.ndarray,
     kf_desc: jnp.ndarray,  # [N, 8] keyframe feature descriptors
     kf_bound: jnp.ndarray,  # [N] bool: feature has a map point
@@ -154,6 +157,9 @@ def track_reference_kf(
     inlier = opt.inlier & bound
     bind = jnp.where(inlier, res.idx, NEG)
     return opt.Tcw, bind, inlier, jnp.sum(inlier)
+
+
+track_reference_kf = jax.jit(_track_reference_kf_core)
 
 
 @jax.jit
@@ -292,6 +298,67 @@ def triangulate_with_neighbors_batch(*args, enable_far=False):
         one,
         in_axes=(None, 0, None, None, None, None, None, 0, 0, 0, 0, 0, None, None, None),
     )(*args)
+
+
+# All fusion targets of one keyframe in ONE device call. The reference's
+# SearchInNeighbors runs ORBmatcher::Fuse sequentially per neighbor
+# (LocalMapping.cc:369-447, ORBmatcher.cc:806-1064); here every (target,
+# candidate-set) pair is a vmapped lane. The merge/Replace bookkeeping stays
+# on host (local_mapping.py) and preserves the sequential apply order.
+@functools.partial(jax.jit, static_argnames=("n_levels",))
+def fuse_batch(
+    tgt_T: jnp.ndarray,  # [T, 4, 4]
+    tgt_xy: jnp.ndarray,  # [T, N, 2]
+    tgt_angle: jnp.ndarray,  # [T, N]
+    tgt_octave: jnp.ndarray,  # [T, N]
+    tgt_desc: jnp.ndarray,  # [T, N, 8]
+    tgt_valid: jnp.ndarray,  # [T, N]
+    cand_idx: jnp.ndarray,  # [T, C] int32 into the slice arrays
+    cand_valid: jnp.ndarray,  # [T, C] (host pre-excludes already-observed)
+    slice_xyz: jnp.ndarray,  # [S, 3]
+    slice_desc: jnp.ndarray,  # [S, 8]
+    slice_maxdist: jnp.ndarray,  # [S]
+    intr: jnp.ndarray,  # [4]
+    width: jnp.ndarray,
+    height: jnp.ndarray,
+    scale_factor: jnp.ndarray,
+    n_levels: int = 8,
+):
+    from ..features.orb import FrameFeatures
+
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+
+    def one(T, xy, angle, octave, desc, fvalid, idx, cvalid):
+        X = slice_xyz[idx]  # [C, 3]
+        pc = se3.transform(T, X)
+        z = jnp.where(jnp.abs(pc[..., 2]) < 1e-8, 1e-8, pc[..., 2])
+        uv = jnp.stack(
+            [fx * pc[..., 0] / z + cx, fy * pc[..., 1] / z + cy], axis=-1
+        )
+        valid = cvalid & (pc[..., 2] > 0.05)
+        valid &= (uv[..., 0] > 0) & (uv[..., 0] < width)
+        valid &= (uv[..., 1] > 0) & (uv[..., 1] < height)
+        Ow = se3.camera_center(T)
+        dist = jnp.linalg.norm(X - Ow, axis=-1)
+        octv = matchers.predicted_octave(
+            dist, slice_maxdist[idx], scale_factor, n_levels
+        )
+        feats = FrameFeatures(
+            xy=xy, response=jnp.zeros_like(angle), angle=angle,
+            octave=octave, desc=desc, valid=fvalid,
+        )
+        res = matchers.fuse_candidates(
+            point_desc=slice_desc[idx], point_uv=uv, point_valid=valid,
+            point_octave=octv,
+            radius_scale=scale_factor ** octv.astype(jnp.float32),
+            feats=feats,
+        )
+        return res.ok & valid, res.idx
+
+    return jax.vmap(one)(
+        tgt_T, tgt_xy, tgt_angle, tgt_octave, tgt_desc, tgt_valid,
+        cand_idx, cand_valid,
+    )
 
 
 @jax.jit

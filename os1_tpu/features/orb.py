@@ -95,6 +95,9 @@ class FrameFeatures(NamedTuple):
     valid: jnp.ndarray  # [N] bool
 
 
+N_ORIENT = 64  # discrete BRIEF pattern orientations (~2.8 deg steps)
+
+
 def _brief_pattern(seed: int) -> np.ndarray:
     """[256, 2, 2] float32 sample-pair offsets, isotropic Gaussian (sigma =
     patch/5), clipped to BRIEF_RADIUS — the BRIEF-I construction."""
@@ -103,83 +106,124 @@ def _brief_pattern(seed: int) -> np.ndarray:
     return np.clip(pts, -BRIEF_RADIUS, BRIEF_RADIUS).astype(np.float32)
 
 
-def _ic_weights() -> tuple[np.ndarray, np.ndarray]:
-    """x- and y-moment weight masks over the circular orientation patch."""
-    r = PATCH // 2
+def _rotated_pattern_table(seed: int, patch: int) -> np.ndarray:
+    """[N_ORIENT, 256*2] int32: flat patch indices of every BRIEF sample for
+    each discrete pattern orientation, nearest-pixel rounded.
+
+    The steered pattern is precomputed per orientation bin — sampling a
+    descriptor is then ONE gather per keypoint instead of per-sample bilinear
+    interpolation (this is also how OpenCV's ORB steers BRIEF: nearest-pixel
+    reads of a rotated pattern, ORBextractor.cc computeOrbDescriptor)."""
+    pat = _brief_pattern(seed)  # [256, 2, 2] (x, y)
+    half = patch // 2
+    tables = []
+    for a in range(N_ORIENT):
+        th = 2.0 * np.pi * a / N_ORIENT
+        c, s = np.cos(th), np.sin(th)
+        x = pat[..., 0] * c - pat[..., 1] * s
+        y = pat[..., 0] * s + pat[..., 1] * c
+        xi = np.clip(np.round(half + x), 0, patch - 1).astype(np.int64)
+        yi = np.clip(np.round(half + y), 0, patch - 1).astype(np.int64)
+        tables.append((yi * patch + xi).reshape(-1))
+    return np.stack(tables).astype(np.int32)
+
+
+def _ic_weights(patch: int = PATCH) -> tuple[np.ndarray, np.ndarray]:
+    """x- and y-moment weight masks over the circular orientation patch
+    (radius = reference HALF_PATCH_SIZE = 15 regardless of patch size)."""
+    r = patch // 2
     ys, xs = np.mgrid[-r : r + 1, -r : r + 1]
-    disc = (xs * xs + ys * ys) <= r * r
+    disc = (xs * xs + ys * ys) <= (PATCH // 2) ** 2
     return (xs * disc).astype(np.float32), (ys * disc).astype(np.float32)
-
-
-def _extract_level(
-    img_l: jnp.ndarray,
-    n_out: int,
-    cfg: OrbConfig,
-    pattern: jnp.ndarray,
-    wx: jnp.ndarray,
-    wy: jnp.ndarray,
-):
-    """One pyramid level -> (xy_level, resp, angle, desc, valid)."""
-    h, w = img_l.shape
-    scores = fast.nms3x3(fast.fast_with_fallback(img_l, cfg.fast_hi, cfg.fast_lo))
-    # Mask the border so downstream patches stay in-bounds.
-    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    interior = (
-        (ys >= BORDER) & (ys < h - BORDER) & (xs >= BORDER) & (xs < w - BORDER)
-    )
-    scores = jnp.where(interior, scores, 0.0)
-
-    xy, resp, valid = topk.balanced_cell_topk(scores, cfg.cell, cfg.k_per_cell, n_out)
-
-    # Orientation: intensity-centroid moments on the raw level image.
-    patches = image.extract_patches(img_l, xy, PATCH)  # [n, 31, 31]
-    m10 = jnp.sum(patches * wx, axis=(-2, -1))
-    m01 = jnp.sum(patches * wy, axis=(-2, -1))
-    angle = jnp.arctan2(m01, m10)
-
-    # Descriptors: rotated BRIEF on the blurred level image.
-    blurred = image.gaussian_blur(img_l)
-    c, s = jnp.cos(angle), jnp.sin(angle)
-    rot = jnp.stack(
-        [jnp.stack([c, -s], -1), jnp.stack([s, c], -1)], axis=-2
-    )  # [n, 2, 2]
-    # pattern: [256, 2(pair), 2(xy)] -> rotated absolute coords [n, 256, 2, 2]
-    offs = jnp.einsum("nij,pkj->npki", rot, pattern)
-    coords = xy[:, None, None, :] + offs
-    samples = image.bilinear_sample(blurred, coords)  # [n, 256, 2]
-    bits = samples[..., 0] < samples[..., 1]
-    desc = hamming.pack_bits(bits)
-    return xy, resp, angle, desc, valid
 
 
 @functools.lru_cache(maxsize=8)
 def make_extractor(cfg: OrbConfig):
-    """Build a jitted extractor: float32 [H, W] grayscale -> FrameFeatures."""
-    pattern = jnp.asarray(_brief_pattern(cfg.seed))
-    wx, wy = (jnp.asarray(a) for a in _ic_weights())
+    """Build a jitted extractor: float32 [H, W] grayscale -> FrameFeatures.
+
+    All pyramid levels live in one padded [L, H, W] stack and every stage
+    (pyramid resize as two MXU matmuls, FAST, NMS, balanced top-k, patches,
+    orientation, blur, rotated BRIEF) runs ONCE over the whole stack — the
+    per-level loop version (reference ORBextractor.cc:907-969 structure) is
+    dominated by per-op dispatch overhead on TPU, not compute.
+    """
     sizes = cfg.level_sizes
     budgets = cfg.features_per_level
     scales = cfg.scales
+    L = cfg.n_levels
+    n_max = max(budgets)
+    Ry, Rx = (jnp.asarray(a) for a in image.pyramid_matrices(cfg.height, cfg.width, sizes))
+    hb = jnp.asarray(np.array([h for h, _ in sizes], np.int32))
+    wb = jnp.asarray(np.array([w for _, w in sizes], np.int32))
+    PATCH_B = 2 * BORDER + 1  # descriptor patch: covers rotated BRIEF radius
+    wx, wy = (jnp.asarray(a) for a in _ic_weights(PATCH_B))
+    sample_table = jnp.asarray(_rotated_pattern_table(cfg.seed, PATCH_B))
 
     @jax.jit
     def extract(img: jnp.ndarray) -> FrameFeatures:
         img = img.astype(jnp.float32)
-        out = []
-        img_l = img
-        for l in range(cfg.n_levels):
-            if l > 0:
-                img_l = image.resize_bilinear(img_l, *sizes[l])
-            xy, resp, angle, desc, valid = _extract_level(
-                img_l, budgets[l], cfg, pattern, wx, wy
-            )
-            octave = jnp.full(budgets[l], l, dtype=jnp.int32)
-            out.append((xy * scales[l], resp, angle, octave, desc, valid))
-        xy, resp, angle, octave, desc, valid = (
-            jnp.concatenate([o[i] for o in out], axis=0) for i in range(6)
+        pyr = image.build_pyramid_stack(img, Ry, Rx)  # [L, H, W]
+
+        scores = fast.nms3x3(
+            fast.fast_with_fallback(img=pyr, hi=cfg.fast_hi, lo=cfg.fast_lo, bounds=(hb, wb))
+        )
+        ys = jax.lax.broadcasted_iota(jnp.int32, pyr.shape, 1)
+        xs = jax.lax.broadcasted_iota(jnp.int32, pyr.shape, 2)
+        interior = (
+            (ys >= BORDER) & (ys < hb[:, None, None] - BORDER)
+            & (xs >= BORDER) & (xs < wb[:, None, None] - BORDER)
+        )
+        scores = jnp.where(interior, scores, 0.0)
+
+        xy, resp, valid = topk.balanced_cell_topk_batch(
+            scores, cfg.cell, cfg.k_per_cell, n_max
+        )  # [L, n_max, ...]
+
+        lvl = jax.lax.broadcasted_iota(jnp.int32, (L, n_max), 0).reshape(-1)
+        xy_f = xy.reshape(-1, 2)
+
+        # One 39x39 blurred patch per keypoint feeds BOTH the orientation
+        # moments and the descriptor samples (the blur is isotropic, so the
+        # intensity-centroid direction matches the raw-image one; the
+        # reference blurs before BRIEF too, ORBextractor.cc:898).
+        blurred = image.gaussian_blur(pyr)
+        bpatches = image.extract_patches_stack(blurred, lvl, xy_f, PATCH_B)
+        m10 = jnp.sum(bpatches * wx, axis=(-2, -1))
+        m01 = jnp.sum(bpatches * wy, axis=(-2, -1))
+        angle = jnp.arctan2(m01, m10)  # [L*n_max]
+
+        # Descriptors: steered BRIEF via the precomputed per-orientation
+        # nearest-pixel sample table — one gather per keypoint.
+        two_pi = 2.0 * jnp.pi
+        abin = (
+            jnp.round(jnp.mod(angle, two_pi) * (N_ORIENT / two_pi)).astype(jnp.int32)
+            % N_ORIENT
+        )
+        flat = bpatches.reshape(bpatches.shape[0], PATCH_B * PATCH_B)
+        samples = jnp.take_along_axis(flat, sample_table[abin], axis=1)
+        samples = samples.reshape(-1, hamming.BITS, 2)
+        desc = hamming.pack_bits(samples[..., 0] < samples[..., 1])
+
+        # Per-level budget selection: lane [l, :budgets[l]], concatenated.
+        angle = angle.reshape(L, n_max)
+        desc = desc.reshape(L, n_max, -1)
+        outs = []
+        for l in range(L):
+            b = budgets[l]
+            outs.append((
+                xy[l, :b] * scales[l],
+                resp[l, :b],
+                angle[l, :b],
+                jnp.full(b, l, dtype=jnp.int32),
+                desc[l, :b],
+                valid[l, :b],
+            ))
+        xy_o, resp_o, ang_o, oct_o, desc_o, val_o = (
+            jnp.concatenate([o[i] for o in outs], axis=0) for i in range(6)
         )
         return FrameFeatures(
-            xy=xy, response=resp, angle=angle, octave=octave, desc=desc, valid=valid
+            xy=xy_o, response=resp_o, angle=ang_o, octave=oct_o,
+            desc=desc_o, valid=val_o,
         )
 
     return extract

@@ -309,11 +309,16 @@ class MapStore:
         self.pt_min_dist[ids] = max_d / (scale_factor ** (n_levels - 1))
 
         # Distinctive descriptor: min median Hamming among live observations.
+        # Pairwise Hamming via the popcount identity |a ^ b| = |a| + |b|
+        # - 2 a.b on unpacked bits — a [M, 256] matmul per point instead of a
+        # [M, M, 256] boolean broadcast (~20x less work at M=16).
         descs = self.kf_desc[kfs_c, fts_c]  # [n, M, 8] uint32
         bits = np.unpackbits(
             descs.view(np.uint8).reshape(len(ids), M, 32), axis=-1
-        )  # [n, M, 256]
-        d = (bits[:, :, None, :] != bits[:, None, :, :]).sum(-1).astype(np.float64)
+        ).astype(np.float32)  # [n, M, 256]
+        ones = bits.sum(-1)  # [n, M]
+        dot = np.einsum("nmb,nkb->nmk", bits, bits)
+        d = (ones[:, :, None] + ones[:, None, :] - 2.0 * dot).astype(np.float64)
         pair_live = live[:, :, None] & live[:, None, :]
         d = np.where(pair_live, d, np.nan)
         # Diagonal = 0 unconditionally: keeps non-live rows from being

@@ -30,85 +30,122 @@ ARC = 9  # contiguous run length for FAST-9
 
 
 def _ring_stack(img: jnp.ndarray) -> jnp.ndarray:
-    """[H, W] -> [16, H, W]: neighbor intensity at each circle offset.
+    """[..., H, W] -> [16, ..., H, W]: neighbor intensity at each circle
+    offset (leading axes, e.g. a pyramid-level stack, pass through).
 
     Implemented with static pad+slice (no gather): each offset is a shifted
     view, which XLA fuses into the comparison that follows.
     """
-    h, w = img.shape
-    padded = jnp.pad(img, 3, mode="edge")
-    views = [padded[3 + dy : 3 + dy + h, 3 + dx : 3 + dx + w] for dx, dy in CIRCLE]
+    h, w = img.shape[-2], img.shape[-1]
+    pad = [(0, 0)] * (img.ndim - 2) + [(3, 3), (3, 3)]
+    padded = jnp.pad(img, pad, mode="edge")
+    views = [
+        padded[..., 3 + dy : 3 + dy + h, 3 + dx : 3 + dx + w] for dx, dy in CIRCLE
+    ]
     return jnp.stack(views, axis=0)
+
+
+def _arc_min9(x: jnp.ndarray) -> jnp.ndarray:
+    """Min over every circular window of ARC=9 consecutive ring positions,
+    maxed over the 16 window starts. Doubling trick: the window-min of length
+    9 is built from mins of lengths 1,2,4,8 in 4 elementwise passes instead
+    of materializing a [16, 9, H, W] window stack."""
+    m2 = jnp.minimum(x, jnp.roll(x, -1, axis=0))
+    m4 = jnp.minimum(m2, jnp.roll(m2, -2, axis=0))
+    m8 = jnp.minimum(m4, jnp.roll(m4, -4, axis=0))
+    m9 = jnp.minimum(m8, jnp.roll(x, -8, axis=0))
+    return jnp.max(m9, axis=0)  # [H, W]
+
+
+def fast_margin(img: jnp.ndarray, bounds=None) -> jnp.ndarray:
+    """Threshold-free FAST-9/16 corner margin map, [..., H, W] float32.
+
+    margin = max over contiguous 9-arcs of min |ring - p| (signed per
+    bright/dark direction). The score at threshold t is max(margin - t, 0):
+    one margin computation serves every threshold (the reference's 20->7
+    fallback re-runs OpenCV FAST; here it is a subtraction).
+
+    bounds: optional ([...] h, [...] w) per-slice valid extents (a padded
+    pyramid stack); defaults to the full array shape."""
+    # bf16 halves the bandwidth of the [16, ..., H, W] ring traffic; for
+    # 0-255 intensities the quantization error is <= 1 gray level, well under
+    # the FAST thresholds (margins only rank corners for top-k selection).
+    img = img.astype(jnp.bfloat16)
+    ring = _ring_stack(img)  # [16, ..., H, W]
+    margin = jnp.maximum(
+        _arc_min9(ring - img[None]), _arc_min9(img[None] - ring)
+    ).astype(jnp.float32)
+    # Kill the 3px border (ring reads clamp there and are meaningless).
+    h, w = img.shape[-2], img.shape[-1]
+    shape = img.shape
+    ys = jax.lax.broadcasted_iota(jnp.int32, shape, img.ndim - 2)
+    xs = jax.lax.broadcasted_iota(jnp.int32, shape, img.ndim - 1)
+    if bounds is None:
+        hb, wb = h, w
+    else:
+        hb = jnp.reshape(bounds[0], bounds[0].shape + (1, 1))
+        wb = jnp.reshape(bounds[1], bounds[1].shape + (1, 1))
+    interior = (ys >= 3) & (ys < hb - 3) & (xs >= 3) & (xs < wb - 3)
+    return jnp.where(interior, margin, 0.0)
 
 
 def fast_scores(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     """Dense FAST-9/16 corner score map, [H, W] float32 (0 = no corner).
 
-    Score is the max-min margin over contiguous 9-arcs:
-      bright arc: min_i (ring_i - p - t) over the arc, maxed over 16 starts
-      dark  arc: min_i (p - ring_i - t) likewise
-    which matches OpenCV's "highest threshold at which the pixel is still a
-    corner" score up to the constant offset t.
-    """
-    ring = _ring_stack(img)  # [16, H, W]
-    p = img[None, :, :]
-    bright = ring - p - threshold  # >0 where neighbor clearly brighter
-    dark = p - ring - threshold
-
-    # Wrap-around windows: duplicate the first ARC-1 entries.
-    def arc_min(x):
-        x2 = jnp.concatenate([x, x[: ARC - 1]], axis=0)  # [16+8, H, W]
-        # min over each window of length ARC starting at s = 0..15
-        windows = jnp.stack([x2[s : s + ARC] for s in range(16)], axis=0)
-        return jnp.max(jnp.min(windows, axis=1), axis=0)  # [H, W]
-
-    score = jnp.maximum(arc_min(bright), arc_min(dark))
-    score = jnp.maximum(score, 0.0)
-    # Kill the 3px border (ring reads clamp there and are meaningless).
-    h, w = img.shape
-    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    interior = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
-    return jnp.where(interior, score, 0.0)
+    Matches OpenCV's "highest threshold at which the pixel is still a
+    corner" score up to the constant offset t."""
+    return jnp.maximum(fast_margin(img) - threshold, 0.0)
 
 
 def nms3x3(scores: jnp.ndarray) -> jnp.ndarray:
-    """3x3 non-maximum suppression: keep strict local maxima, zero the rest."""
+    """3x3 non-maximum suppression over the last two axes: keep strict local
+    maxima, zero the rest."""
+    one = (1,) * (scores.ndim - 2)
     neigh_max = jax.lax.reduce_window(
         scores,
         -jnp.inf,
         jax.lax.max,
-        window_dimensions=(3, 3),
-        window_strides=(1, 1),
+        window_dimensions=one + (3, 3),
+        window_strides=one + (1, 1),
         padding="SAME",
     )
     return jnp.where((scores >= neigh_max) & (scores > 0.0), scores, 0.0)
 
 
-def fast_with_fallback(img: jnp.ndarray, hi: float, lo: float) -> jnp.ndarray:
+def fast_with_fallback(img: jnp.ndarray, hi: float, lo: float, bounds=None) -> jnp.ndarray:
     """Score with high threshold; where an image region yields nothing, the
     low-threshold response is used (branchless version of the reference's
-    20->7 per-cell fallback, ORBextractor.cc:848-856).
+    20->7 per-cell fallback, ORBextractor.cc:848-856). Operates on [..., H, W]
+    (a pyramid stack scores every level in the same ops).
 
     Returned scores from the fallback pass are down-weighted so genuine
     high-threshold corners always outrank fallback ones in top-k selection.
     """
-    s_hi = fast_scores(img, hi)
-    s_lo = fast_scores(img, lo)
+    margin = fast_margin(img, bounds=bounds)
+    s_hi = jnp.maximum(margin - hi, 0.0)
+    s_lo = jnp.maximum(margin - lo, 0.0)
     # Region emptiness test at 32x32 granularity via max-pool.
     region = 32
-    h, w = img.shape
+    h, w = img.shape[-2], img.shape[-1]
+    lead = img.ndim - 2
     ph = (region - h % region) % region
     pw = (region - w % region) % region
-    pad = jnp.pad(s_hi, ((0, ph), (0, pw)))
+    pad = jnp.pad(s_hi, [(0, 0)] * lead + [(0, ph), (0, pw)])
+    one = (1,) * lead
     pooled = jax.lax.reduce_window(
         pad, -jnp.inf, jax.lax.max,
-        window_dimensions=(region, region),
-        window_strides=(region, region),
+        window_dimensions=one + (region, region),
+        window_strides=one + (region, region),
         padding="VALID",
     )
-    empty = (pooled <= 0.0)
-    empty_full = jnp.repeat(jnp.repeat(empty, region, 0), region, 1)[:h, :w]
+    empty = pooled <= 0.0
+    # Broadcast each region flag back over its region (reshape, no gather).
+    hp, wp = pooled.shape[-2], pooled.shape[-1]
+    empty_full = jnp.broadcast_to(
+        empty[..., :, None, :, None],
+        empty.shape[:-2] + (hp, region, wp, region),
+    ).reshape(empty.shape[:-2] + (hp * region, wp * region))[..., :h, :w]
     # Fallback scores are scaled into (0, lo] so they sort below real ones.
-    s_fb = s_lo / (1.0 + jnp.max(s_lo)) * lo
+    peak = jnp.max(s_lo, axis=(-2, -1), keepdims=True)
+    s_fb = s_lo / (1.0 + peak) * lo
     return jnp.where(empty_full, s_fb, s_hi)

@@ -22,6 +22,50 @@ import jax
 import jax.numpy as jnp
 
 
+def balanced_cell_topk_batch(
+    scores: jnp.ndarray, cell: int, k_per_cell: int, n_out: int
+):
+    """Batched :func:`balanced_cell_topk` over a level stack.
+
+    scores: [L, H, W] (padded levels: zero score outside each level's
+    bounds). Returns (xy [L, n_out, 2], resp [L, n_out], valid [L, n_out]),
+    selected independently per level in ONE set of ops — the per-level loop
+    version costs ~8x the dispatch/op overhead.
+    """
+    L, h, w = scores.shape
+    ph = (cell - h % cell) % cell
+    pw = (cell - w % cell) % cell
+    s = jnp.pad(scores, ((0, 0), (0, ph), (0, pw)))
+    hc, wc = s.shape[1] // cell, s.shape[2] // cell
+    cells = (
+        s.reshape(L, hc, cell, wc, cell)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(L, hc * wc, cell * cell)
+    )
+    top_s, top_i = jax.lax.top_k(cells, k_per_cell)  # [L, M, k]
+    M = hc * wc
+    cy = jax.lax.broadcasted_iota(jnp.int32, (L, M, k_per_cell), 1) // wc
+    cx = jax.lax.broadcasted_iota(jnp.int32, (L, M, k_per_cell), 1) % wc
+    ys = cy * cell + top_i // cell
+    xs = cx * cell + top_i % cell
+    rank = jax.lax.broadcasted_iota(jnp.int32, (L, M, k_per_cell), 2)
+
+    flat_s = top_s.reshape(L, -1)
+    flat_y = ys.reshape(L, -1)
+    flat_x = xs.reshape(L, -1)
+    flat_r = rank.reshape(L, -1)
+    valid = flat_s > 0.0
+    big = jnp.float32(1e9)
+    key = jnp.where(valid, flat_r.astype(jnp.float32) * big - flat_s, jnp.inf)
+    order = jnp.argsort(key, axis=1)[:, :n_out]  # [L, n_out]
+    take = lambda a: jnp.take_along_axis(a, order, axis=1)
+    out_xy = jnp.stack(
+        [take(flat_x).astype(jnp.float32), take(flat_y).astype(jnp.float32)],
+        axis=-1,
+    )
+    return out_xy, take(flat_s), take(valid)
+
+
 def balanced_cell_topk(
     scores: jnp.ndarray, cell: int, k_per_cell: int, n_out: int
 ):

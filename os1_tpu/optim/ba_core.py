@@ -109,23 +109,22 @@ def assemble_reduced(prob: BAProblem, cam_T, points, active, lam):
     b_co = jnp.einsum("poki,po,pok->poi", J_c, w, r)  # [P, O, 6]
     Y = jnp.einsum("poij,pjk->poik", W, H_pp_inv)  # [P, O, 6, 3]
 
-    # Reduced camera system S [C, C, 6, 6], b_red [C, 6].
-    cam_idx = prob.obs_cam  # [P, O]
-    S = jnp.zeros((C * C, 6, 6), cam_T.dtype)
-    diag_slots = cam_idx * C + cam_idx
-    S = S.at[diag_slots.reshape(-1)].add(Hc_o.reshape(P * O, 6, 6))
-    # Cross terms: for each point, all ordered obs pairs (o1, o2).
-    pair_blocks = -jnp.einsum("poik,pqjk->poqij", Y, W)  # [P, O, O, 6, 6]
-    pair_slots = cam_idx[:, :, None] * C + cam_idx[:, None, :]
-    S = S.at[pair_slots.reshape(-1)].add(pair_blocks.reshape(P * O * O, 6, 6))
-    S = S.reshape(C, C, 6, 6)
+    # Reduced camera system S [C, C, 6, 6], b_red [C, 6], assembled with
+    # one-hot contractions on the MXU. The index-based alternative — a
+    # scatter-add of [P, O, O] 6x6 pair blocks — serializes on duplicate
+    # camera indices on TPU and dominated the whole BA (measured ~10x the
+    # cost of these matmuls).
+    E = jax.nn.one_hot(prob.obs_cam, C, dtype=cam_T.dtype)  # [P, O, C]
+    # Diagonal contributions Σ_po E Hc_o.
+    S_diag = jnp.einsum("poc,poij->cij", E, Hc_o)  # [C, 6, 6]
+    # Cross terms -Σ_p (Σ_o E Y)(Σ_q E W)^T over the shared landmark index.
+    A = jnp.einsum("poc,poik->pcik", E, Y)  # [P, C, 6, 3]
+    B = jnp.einsum("poc,pojk->pcjk", E, W)  # [P, C, 6, 3]
+    S = -jnp.einsum("pcik,pdjk->cdij", A, B)  # [C, C, 6, 6]
+    S = S.at[jnp.arange(C), jnp.arange(C)].add(S_diag)
 
-    b_c = jnp.zeros((C, 6), cam_T.dtype).at[cam_idx.reshape(-1)].add(
-        b_co.reshape(P * O, 6)
-    )
-    corr = jnp.zeros((C, 6), cam_T.dtype).at[cam_idx.reshape(-1)].add(
-        jnp.einsum("poij,pj->poi", Y, b_p).reshape(P * O, 6)
-    )
+    b_c = jnp.einsum("poc,poi->ci", E, b_co)  # [C, 6]
+    corr = jnp.einsum("poc,poij,pj->ci", E, Y, b_p)
     b_red = b_c - corr
     return S, b_red, H_pp_inv, W, b_p
 

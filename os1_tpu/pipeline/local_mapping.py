@@ -184,6 +184,7 @@ class LocalMapper:
         nb_idx_np = np.asarray(nb_idx)
         pts_np = np.asarray(pts3)
         taken = np.zeros(acc.shape[1], bool)  # features already triangulated
+        new_ids = []
         for j, nb in enumerate(nbs):
             feats = np.nonzero(acc[j] & ~taken)[0]
             if len(feats) == 0:
@@ -201,7 +202,11 @@ class LocalMapper:
             for p, f in zip(ids, feats):
                 st.add_observation(int(p), kf, int(f))
                 st.add_observation(int(p), nb, int(nb_idx_np[j, f]))
-            st.update_point_derived(ids, cfg.orb.scale_factor, cfg.orb.n_levels)
+            new_ids.append(ids)
+        if new_ids:
+            st.update_point_derived(
+                np.concatenate(new_ids), cfg.orb.scale_factor, cfg.orb.n_levels
+            )
 
     # ------------------------------------------------------------------ #
     _P_FUSE = 4096  # candidate capacity per fusion target
@@ -237,9 +242,13 @@ class LocalMapper:
             return
 
         # Shared point slice: union of both candidate sets, uploaded once.
-        sl = np.union1d(own, fuse).astype(np.int64)
+        # Padded to a FIXED capacity — a varying slice length would recompile
+        # fuse_batch on every keyframe.
+        sl = np.union1d(own, fuse).astype(np.int64)[: 2 * self._P_FUSE]
         pos = np.zeros(st.cfg.max_points, np.int32)
         pos[sl] = np.arange(len(sl), dtype=np.int32)
+        n_sl = len(sl)
+        sl = np.concatenate([sl, np.zeros(2 * self._P_FUSE - n_sl, np.int64)])
 
         T_cap, C = self._T_FUSE, self._P_FUSE
         rows = (targets + [kf])[:T_cap]
@@ -265,9 +274,9 @@ class LocalMapper:
             jnp.asarray(st.kf_desc[row_kfs]),
             jnp.asarray(st.kf_feat_valid[row_kfs] & (np.arange(T_cap) < n_rows)[:, None]),
             jnp.asarray(cand_idx), jnp.asarray(cand_valid),
-            jnp.asarray(st.pt_xyz[sl]) if len(sl) else jnp.zeros((1, 3), jnp.float32),
-            jnp.asarray(st.pt_desc[sl]) if len(sl) else jnp.zeros((1, 8), jnp.uint32),
-            jnp.asarray(st.pt_max_dist[sl]) if len(sl) else jnp.zeros(1, jnp.float32),
+            jnp.asarray(st.pt_xyz[sl]),
+            jnp.asarray(st.pt_desc[sl]),
+            jnp.asarray(np.nan_to_num(st.pt_max_dist[sl], posinf=1e9)),
             jnp.asarray(cfg.intr),
             jnp.float32(cfg.camera.width), jnp.float32(cfg.camera.height),
             jnp.float32(cfg.orb.scale_factor), n_levels=cfg.orb.n_levels,

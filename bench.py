@@ -33,7 +33,7 @@ def main():
         orb=OrbConfig(height=H, width=W, n_features=1024, n_levels=8),
         map=MapConfig(max_keyframes=128, max_points=16384, n_features=1024),
     )
-    sys_ = System(cfg=cfg)
+    sys_ = System(cfg=cfg, pipelined=True)
 
     scene = synthetic.default_scene(seed=1)
     poses = synthetic.orbit_trajectory(80, advance=0.05)
@@ -51,6 +51,7 @@ def main():
         state, _ = sys_.track_monocular(frames[i], timestamp=i / 30.0)
         n_timed += 1
         n_ok += state == TrackingState.OK
+    sys_.flush()  # drain the pipelined in-flight frame
     dt = time.time() - t0
     fps = n_timed / dt
 

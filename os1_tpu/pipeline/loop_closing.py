@@ -79,11 +79,9 @@ class LoopCloser:
             return np.empty(0, np.int64)
 
         bow_kf = self.db.bow[kf]
-        from ..vocab import tree as vtree
-
-        scores = np.asarray(
-            vtree.l1_score(jnp.asarray(bow_kf), jnp.asarray(self.db.bow[neighbors]))
-        )
+        # Host numpy L1 scores: tiny arithmetic, not worth a device round trip.
+        nb = self.db.bow[neighbors]
+        scores = 1.0 - 0.5 * np.abs(nb - bow_kf[None, :]).sum(-1)
         min_score = float(scores.min()) if len(scores) else 0.0
 
         exclude = np.concatenate([[kf], neighbors])

@@ -23,6 +23,7 @@ class System:
     cfg: SlamConfig
     enable_mapping: bool = True  # False = localization-only mode
     enable_loop_closing: bool = True
+    pipelined: bool = False  # 1-frame-lag tracking pipeline (see tracking.py)
     store: MapStore = None
     vocab = None  # Vocabulary | None (None -> packaged default)
     tracker: Tracker = field(init=False)
@@ -39,6 +40,7 @@ class System:
         # TPU-native Map::mMutexMapUpdate — see map/mirror.py).
         self.mirror = DeviceMirror(self.store)
         self.tracker.mirror = self.mirror
+        self.tracker.pipelined = self.pipelined
 
         # Place recognition: BoW database over the packaged vocabulary
         # (System.cc:100 loads orbVoc.bin; here the default vocabulary, or a
@@ -96,6 +98,10 @@ class System:
 
     def reset(self):
         self.tracker.reset()  # on_reset callback clears the BoW database
+
+    def flush(self):
+        """Drain the pipelined in-flight frame (end of stream)."""
+        self.tracker.flush()
 
     @property
     def state(self) -> TrackingState:

@@ -49,6 +49,7 @@ class Tracker:
     cfg: SlamConfig
     store: MapStore
     mirror = None  # DeviceMirror | None, wired by System (fused frame path)
+    pipelined: bool = False  # 1-frame-lag pipelining over the device chain
     state: TrackingState = TrackingState.NO_IMAGES_YET
     last: TrackedFrame | None = None
     init_ref: TrackedFrame | None = None
@@ -65,6 +66,9 @@ class Tracker:
     def __post_init__(self):
         self._build = make_frame_builder(self.cfg.orb)
         self._fused = None  # built on first fused frame (needs self.mirror)
+        self._prev_Tcw = None  # pose two frames back (device velocity input)
+        self._chain = None  # device-resident (bind, T, prevT, octave) chain
+        self._pending = None  # in-flight (frame, fid, ts, out, local_ids)
         self._key = jax.random.PRNGKey(0)
         self._intr = jnp.asarray(self.cfg.intr)
         self._K = jnp.asarray(
@@ -94,7 +98,9 @@ class Tracker:
             self._relocalize(frame, fid, timestamp)
 
         Tcw = self.last.Tcw if self.last is not None and self.state == TrackingState.OK else None
-        if Tcw is not None:
+        if Tcw is not None and not (self.pipelined and self.mirror is not None):
+            # Pipelined mode records trajectory entries in _finish_frame,
+            # stamped with each frame's OWN timestamp (results lag a frame).
             self.trajectory.append((timestamp, fid, Tcw.copy()))
         return self.state, Tcw
 
@@ -183,6 +189,8 @@ class Tracker:
         self.ref_kf = k2
         self.last_kf_frame_id = fid
         self.velocity = None
+        self._prev_Tcw = None
+        self._chain = None
         self.state = TrackingState.OK
         if self.on_new_keyframe is not None:
             self.on_new_keyframe(k1, bootstrap=True)
@@ -224,6 +232,9 @@ class Tracker:
     # ------------------------------------------------------------------ #
     def _track_frame(self, frame, fid, timestamp):
         th = self.cfg.th
+        if self.mirror is not None and self.pipelined:
+            self._track_frame_pipelined(frame, fid, timestamp)
+            return
         if self.mirror is not None:
             ok, Tcw, bind, n_inl = self._track_frame_device(frame)
         else:
@@ -231,37 +242,44 @@ class Tracker:
             if not ok:
                 ok, Tcw, bind, n_inl = self._track_reference_kf(frame)
         if not ok:
-            self.state = TrackingState.LOST
-            self.last = TrackedFrame(
-                data=frame, Tcw=self.last.Tcw, bind=np.full_like(self.last.bind, -1),
-                frame_id=fid, timestamp=timestamp,
-                octave=np.asarray(frame.feats.octave),
-            )
-            # Lost right after initialization: the young map is unreliable —
-            # reset and re-initialize (Tracking.cc:327-335).
-            if self.store.n_keyframes() <= 5:
-                self.reset()
+            self._mark_lost(frame, fid, timestamp, self.last.Tcw)
             return
 
         if self.mirror is None:
             Tcw, bind, n_inl = self._track_local_map(frame, Tcw, bind)
-        if n_inl < th.min_localmap_inliers:
-            self.state = TrackingState.LOST
-            self.last = TrackedFrame(
-                data=frame, Tcw=Tcw, bind=np.full_like(bind, -1),
-                frame_id=fid, timestamp=timestamp,
-                octave=np.asarray(frame.feats.octave),
-            )
-            return
+        self._finish_frame(frame, fid, timestamp, Tcw, bind, n_inl)
 
+    def _mark_lost(self, frame, fid, timestamp, Tcw):
+        self.state = TrackingState.LOST
+        self.last = TrackedFrame(
+            data=frame, Tcw=Tcw,
+            bind=np.full(self.cfg.orb.n_features, -1, np.int64),
+            frame_id=fid, timestamp=timestamp,
+            octave=np.asarray(frame.feats.octave),
+        )
+        # Lost right after initialization: the young map is unreliable —
+        # reset and re-initialize (Tracking.cc:327-335).
+        if self.store.n_keyframes() <= 5:
+            self.reset()
+
+    def _finish_frame(self, frame, fid, timestamp, Tcw, bind, n_inl):
+        """Post-local-map FSM tail: accept/lose, motion model, KF decision."""
+        if n_inl < self.cfg.th.min_localmap_inliers:
+            self._mark_lost(frame, fid, timestamp, Tcw)
+            return
         # Motion model update (Tracking.cc:278-283).
         if self.last is not None:
             self.velocity = Tcw @ np.linalg.inv(self.last.Tcw)
-        prev = self.last
+            self._prev_Tcw = self.last.Tcw
         self.last = TrackedFrame(
             data=frame, Tcw=Tcw, bind=bind, frame_id=fid, timestamp=timestamp,
-            octave=np.asarray(frame.feats.octave), n_inliers=n_inl,
+            octave=np.asarray(frame.feats.octave) if self.mirror is None else None,
+            n_inliers=n_inl,
         )
+        if self.pipelined:
+            # In pipelined mode the caller saw this frame's predecessor;
+            # record the trajectory entry here with ITS OWN timestamp.
+            self.trajectory.append((timestamp, fid, Tcw.copy()))
         if self._need_new_keyframe(n_inl, fid):
             self._create_new_keyframe(frame, fid, timestamp, bind)
 
@@ -331,45 +349,115 @@ class Tracker:
     # ------------------------------------------------------------------ #
     # fused device frame path (tracking_fused.py): one dispatch, one sync
     # ------------------------------------------------------------------ #
-    def _track_frame_device(self, frame):
-        """Motion-model + refKF-fallback + local-map tracking as ONE device
-        program over the HBM-resident map mirror. Returns (pre_ok, Tcw,
-        bind, n_localmap_inliers) — pose/bind are post-local-map."""
+    def _dispatch_fused(self, frame, last_T, prev_T, last_bind, last_octave,
+                        has_vel, host_bind):
+        """Dispatch the fused per-frame program (async). last_T/prev_T/
+        last_bind/last_octave may be device arrays (pipelined chain) or
+        host-built; host_bind is the newest host-materialized binding used
+        for local-map candidate selection."""
         from . import tracking_fused
 
         if self._fused is None:
             self._fused = tracking_fused.make_fused_tracker(self.cfg)
         mir = self.mirror
-        st = self.store
-        th = self.cfg.th
-        has_vel = self.velocity is not None and self.last is not None
-        pred_T = (
-            (self.velocity @ self.last.Tcw) if has_vel else self.last.Tcw
-        ).astype(np.float32)
-        local_ids, local_valid = self._local_candidates(self.last.bind)
-
-        out = jax.device_get(
-            self._fused(
-                mir.pt_xyz, mir.pt_desc, mir.pt_valid, mir.pt_normal,
-                mir.pt_min_dist, mir.pt_max_dist,
-                mir.kf_desc, mir.kf_angle, mir.kf_obs_point,
-                frame, self.cfg.camera, self._intr,
-                jnp.asarray(pred_T),
-                jnp.asarray(self.last.Tcw.astype(np.float32)),
-                jnp.asarray(self.last.bind.astype(np.int32)),
-                self.last.data.feats.octave,
-                jnp.int32(max(self.ref_kf, 0)),
-                jnp.asarray(local_ids), jnp.asarray(local_valid),
-                jnp.asarray(has_vel),
-            )
+        local_ids, local_valid = self._local_candidates(host_bind)
+        out = self._fused(
+            mir.pt_xyz, mir.pt_desc, mir.pt_valid, mir.pt_normal,
+            mir.pt_min_dist, mir.pt_max_dist,
+            mir.kf_desc, mir.kf_angle, mir.kf_obs_point,
+            frame, self.cfg.camera, self._intr,
+            last_T, prev_T, last_bind, last_octave,
+            jnp.int32(max(self.ref_kf, 0)),
+            jnp.asarray(local_ids), jnp.asarray(local_valid),
+            jnp.asarray(has_vel),
         )
-        if not bool(out["pre_ok"]):
-            return False, None, None, 0
-        bind = out["bind"].astype(np.int64)
+        return out, local_ids
+
+    def _apply_result(self, frame, fid, timestamp, out, local_ids):
+        """Materialize one fused result and run the FSM tail for its frame."""
+        st = self.store
+        host = jax.device_get(out)
+        if not bool(host["pre_ok"]):
+            self._mark_lost(frame, fid, timestamp, self.last.Tcw)
+            return
+        bind = host["bind"].astype(np.int64)
         # Tracking stats for culling (MapPoint::IncreaseVisible/Found).
-        st.pt_visible[local_ids[out["visible"]]] += 1
+        st.pt_visible[local_ids[host["visible"]]] += 1
         st.pt_found[bind[bind >= 0]] += 1
-        return True, out["Tcw"].astype(np.float32), bind, int(out["n_inliers"])
+        self._finish_frame(
+            frame, fid, timestamp, host["Tcw"].astype(np.float32), bind,
+            int(host["n_inliers"]),
+        )
+
+    def _track_frame_device(self, frame):
+        """Synchronous fused frame: one dispatch, one readback. Returns
+        (pre_ok, Tcw, bind, n_localmap_inliers) — pose/bind post-local-map."""
+        has_vel = self.velocity is not None and self.last is not None
+        prev = self._prev_Tcw if self._prev_Tcw is not None else self.last.Tcw
+        out, local_ids = self._dispatch_fused(
+            frame,
+            jnp.asarray(self.last.Tcw.astype(np.float32)),
+            jnp.asarray(prev.astype(np.float32)),
+            jnp.asarray(self.last.bind.astype(np.int32)),
+            self.last.data.feats.octave,
+            has_vel, self.last.bind,
+        )
+        host = jax.device_get(out)
+        if not bool(host["pre_ok"]):
+            return False, None, None, 0
+        bind = host["bind"].astype(np.int64)
+        st = self.store
+        st.pt_visible[local_ids[host["visible"]]] += 1
+        st.pt_found[bind[bind >= 0]] += 1
+        return True, host["Tcw"].astype(np.float32), bind, int(host["n_inliers"])
+
+    # ------------------------------------------------------------------ #
+    # pipelined frame path: dispatch frame N, process frame N-1
+    # ------------------------------------------------------------------ #
+    def _track_frame_pipelined(self, frame, fid, timestamp):
+        """One-frame-lag pipelining: frame N's device programs run while the
+        host handles frame N-1's result — the TPU-native form of the
+        reference's tracking-vs-mapping thread overlap (the ~30 ms tunnel
+        readback round trip is hidden behind the next frame's execution).
+        Pose/bind chain device-to-device; the caller-visible (state, pose)
+        lag one frame."""
+        ch = self._chain
+        if ch is None:
+            # First pipelined frame after init/reloc: seed from host state.
+            prev = self._prev_Tcw if self._prev_Tcw is not None else self.last.Tcw
+            ch = dict(
+                bind=jnp.asarray(self.last.bind.astype(np.int32)),
+                T=jnp.asarray(self.last.Tcw.astype(np.float32)),
+                prevT=jnp.asarray(prev.astype(np.float32)),
+                octave=self.last.data.feats.octave,
+                has_vel=self.velocity is not None,
+            )
+        out, local_ids = self._dispatch_fused(
+            frame, ch["T"], ch["prevT"], ch["bind"], ch["octave"],
+            ch["has_vel"], self.last.bind,
+        )
+        for v in out.values():
+            v.copy_to_host_async()
+        self._chain = dict(
+            bind=out["bind"], T=out["Tcw"], prevT=ch["T"],
+            octave=frame.feats.octave, has_vel=True,
+        )
+        prev_pending = self._pending
+        self._pending = (frame, fid, timestamp, out, local_ids)
+        if prev_pending is not None:
+            self._apply_result(*prev_pending)
+            if self.state != TrackingState.OK:
+                # Chain poisoned: the in-flight frame tracked against a lost
+                # pose — discard it and let the FSM recover.
+                self._pending = None
+                self._chain = None
+
+    def flush(self):
+        """Drain the pipelined in-flight frame (end of stream / mode switch)."""
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            self._apply_result(*pending)
+            self._chain = None
 
     def _local_candidates(self, bind):
         """Padded local-map candidate ids for the fused program: points of
@@ -549,6 +637,8 @@ class Tracker:
                 self.last.Tcw = Tcw2
                 self.last.bind = bind2
                 self.velocity = None
+                self._prev_Tcw = None
+                self._chain = None
                 self.last_reloc_frame_id = fid
                 self.state = TrackingState.OK
 
@@ -558,6 +648,9 @@ class Tracker:
         self.last = None
         self.init_ref = None
         self.velocity = None
+        self._prev_Tcw = None
+        self._chain = None
+        self._pending = None
         self.ref_kf = -1
         self.last_kf_frame_id = 0
         self.store.__post_init__()  # clear all map arrays

@@ -38,6 +38,23 @@ from .frame import FrameData
 from .tracking_kernels import NEG, _track_points_core, _track_reference_kf_core
 
 
+def _orthonormalize_se3(T: jnp.ndarray) -> jnp.ndarray:
+    """Project the rotation block back onto SO(3) (Gram-Schmidt on rows).
+
+    Poses produced by LM updates accumulate float non-orthonormality; the
+    device pose chain feeds pred = T_k T_{k-1}^-1 T_k with a TRANSPOSE-based
+    inverse, under which a scale defect s evolves as s_{k+1} = s_k^2 s_{k-1}
+    — exponential growth at (1 + sqrt(2))x per frame (observed empirically:
+    x2.4). Re-projecting every output pose keeps the chain exactly rigid.
+    """
+    R = T[:3, :3]
+    r0 = R[0] / jnp.linalg.norm(R[0])
+    r1 = R[1] - jnp.dot(R[1], r0) * r0
+    r1 = r1 / jnp.linalg.norm(r1)
+    r2 = jnp.cross(r0, r1)
+    return T.at[:3, :3].set(jnp.stack([r0, r1, r2]))
+
+
 def make_fused_tracker(cfg: SlamConfig):
     """Build the jitted fused step for a fixed config. Closes over all
     thresholds (they are compile-time constants, as in the reference)."""
@@ -61,9 +78,9 @@ def make_fused_tracker(cfg: SlamConfig):
         frame: FrameData,
         cam: cam_mod.Camera,
         intr: jnp.ndarray,
-        # --- small per-frame state (host uploads) ---
-        pred_T: jnp.ndarray,  # [4, 4] velocity-predicted pose
-        last_T: jnp.ndarray,  # [4, 4] last frame pose (refKF fallback init)
+        # --- small per-frame state (device-chained or host uploads) ---
+        last_T: jnp.ndarray,  # [4, 4] last frame pose
+        prev_T: jnp.ndarray,  # [4, 4] pose of the frame before that
         last_bind: jnp.ndarray,  # [N] i32 global point id per last-frame feature
         last_octave: jnp.ndarray,  # [N] i32 last-frame feature octaves
         ref_kf: jnp.ndarray,  # scalar i32
@@ -73,6 +90,18 @@ def make_fused_tracker(cfg: SlamConfig):
     ):
         P = pt_xyz.shape[0]
         n_feat = frame.xy_un.shape[0]
+
+        # Constant-velocity prediction computed ON DEVICE (Tracking.cc:278-283
+        # mVelocity = Tcw_k (Tcw_{k-1})^-1): the pose chain never has to visit
+        # the host between frames, which is what makes pipelined tracking a
+        # pure device-to-device dependency.
+        Rp, tp = prev_T[:3, :3], prev_T[:3, 3]
+        prev_inv = (
+            jnp.eye(4, dtype=last_T.dtype)
+            .at[:3, :3].set(Rp.T)
+            .at[:3, 3].set(-Rp.T @ tp)
+        )
+        pred_T = jnp.where(has_velocity, (last_T @ prev_inv) @ last_T, last_T)
 
         # ---------------- stage 1: motion-model tracking ---------------- #
         m_ids = jnp.clip(last_bind, 0, P - 1)
@@ -161,8 +190,8 @@ def make_fused_tracker(cfg: SlamConfig):
             jnp.where(prev_bound & inlier, g_pre, NEG),
         )
         return dict(
-            Tcw=T3, bind=g3, n_inliers=n3, pre_ok=ok_pre, n_pre=n_pre,
-            used_motion=ok1, visible=visible & cand,
+            Tcw=_orthonormalize_se3(T3), bind=g3, n_inliers=n3, pre_ok=ok_pre,
+            n_pre=n_pre, used_motion=ok1, visible=visible & cand,
         )
 
     return step

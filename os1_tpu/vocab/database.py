@@ -30,13 +30,12 @@ def _frame_bow(vocab_arrays, desc, valid, n_words, depth):
     return word, weight, tree.bow_vector(word, weight, n_words)
 
 
-@jax.jit
 def _query_scores(v, mat, active):
-    shared = tree.shared_word_counts(v, mat)
-    scores = tree.l1_score(v, mat)
-    shared = jnp.where(active, shared, 0)
-    scores = jnp.where(active, scores, -1.0)
-    return shared, scores
+    """Host numpy: the [K, W] database is ~1 MB — the arithmetic is far
+    cheaper than a device dispatch + readback round trip per query."""
+    shared = ((mat > 0) & (v[None, :] > 0)).sum(-1).astype(np.int32)
+    scores = 1.0 - 0.5 * np.abs(mat - v[None, :]).sum(-1)
+    return np.where(active, shared, 0), np.where(active, scores, -1.0)
 
 
 @dataclass
@@ -89,11 +88,7 @@ class KeyFrameDatabase:
             active[exclude] = False
         if not active.any():
             return np.empty(0, np.int64), np.empty(0, np.float32)
-        shared, scores = _query_scores(
-            jnp.asarray(bow_vec), jnp.asarray(self.bow), jnp.asarray(active)
-        )
-        shared = np.asarray(shared)
-        scores = np.asarray(scores)
+        shared, scores = _query_scores(np.asarray(bow_vec), self.bow, active)
         max_shared = shared.max()
         if max_shared == 0:
             return np.empty(0, np.int64), np.empty(0, np.float32)

@@ -14,14 +14,14 @@ H, W = 240, 320
 K = np.array([[260.0, 0, 160.0], [0, 260.0, 120.0], [0, 0, 1.0]])
 
 
-def make_system(n_features=512):
+def make_system(n_features=512, **kw):
     cam = Camera.make(fx=K[0, 0], fy=K[1, 1], cx=K[0, 2], cy=K[1, 2],
                       width=W, height=H)
     orb = OrbConfig(height=H, width=W, n_features=n_features, n_levels=4)
     cfg = SlamConfig(camera=cam, orb=orb,
                      map=MapConfig(max_keyframes=64, max_points=8192,
                                    n_features=n_features))
-    return System(cfg=cfg)
+    return System(cfg=cfg, **kw)
 
 
 @pytest.fixture(scope="module")
@@ -108,6 +108,30 @@ class TestEndToEnd:
             np.array([-T[:3, :3].T @ T[:3, 3] for T in gt]), axis=0), axis=1).sum()
         # ATE under 2% of trajectory length (ORB-SLAM2-class accuracy on
         # a clean synthetic scene).
+        assert ate < 0.02 * traj_len, f"ATE {ate:.4f} over {traj_len:.2f}m"
+
+    def test_pipelined_matches_sync(self, sequence):
+        """1-frame-lag pipelined tracking (bench mode) must initialize, stay
+        OK, and produce a trajectory as accurate as the synchronous path —
+        results lag a frame but are stamped with their own timestamps."""
+        frames, poses = sequence
+        sys = make_system(pipelined=True)
+        states = []
+        for i, f in enumerate(frames):
+            state, _ = sys.track_monocular(f, timestamp=i / 30.0)
+            states.append(state)
+        sys.flush()
+        ok = [s == TrackingState.OK for s in states]
+        assert np.mean(ok[10:]) > 0.9, [s.name for s in states]
+        traj = sys.frame_trajectory()
+        assert len(traj) > 25
+        # Trajectory entries carry each frame's own timestamp: accuracy must
+        # match the sync path on the same ATE gate.
+        est = [Tcw for _, fid, Tcw in traj]
+        gt = [poses[fid] for _, fid, Tcw in traj]
+        ate = synthetic.ate_rmse(est, gt)
+        traj_len = np.linalg.norm(np.diff(
+            np.array([-T[:3, :3].T @ T[:3, 3] for T in gt]), axis=0), axis=1).sum()
         assert ate < 0.02 * traj_len, f"ATE {ate:.4f} over {traj_len:.2f}m"
 
     def test_localization_mode_freezes_map(self, sequence):

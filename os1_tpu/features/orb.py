@@ -95,7 +95,7 @@ class FrameFeatures(NamedTuple):
     valid: jnp.ndarray  # [N] bool
 
 
-N_ORIENT = 64  # discrete BRIEF pattern orientations (~2.8 deg steps)
+N_ORIENT = 64  # discrete BRIEF pattern orientations (5.6 deg steps, max 2.8 deg rounding error)
 
 
 def _brief_pattern(seed: int) -> np.ndarray:
@@ -185,8 +185,10 @@ def make_extractor(cfg: OrbConfig):
         # One 39x39 blurred patch per keypoint feeds BOTH the orientation
         # moments and the descriptor samples (the blur is isotropic, so the
         # intensity-centroid direction matches the raw-image one; the
-        # reference blurs before BRIEF too, ORBextractor.cc:898).
-        blurred = image.gaussian_blur(pyr)
+        # reference blurs before BRIEF too, ORBextractor.cc:898). Level edges
+        # are replicated into the stack padding first so the blur cannot
+        # bleed zeros into border patches on the upper levels.
+        blurred = image.gaussian_blur(image.replicate_level_edges(pyr, hb, wb))
         bpatches = image.extract_patches_stack(blurred, lvl, xy_f, PATCH_B)
         m10 = jnp.sum(bpatches * wx, axis=(-2, -1))
         m01 = jnp.sum(bpatches * wy, axis=(-2, -1))

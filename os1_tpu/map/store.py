@@ -157,6 +157,35 @@ class MapStore:
         self.pt_n_obs[pt] += 1
         self.kf_obs_point[kf, feat] = pt
 
+    def add_observations(self, pts, kfs, feats) -> None:
+        """Batched :meth:`add_observation`: bind many (point, kf, feature)
+        triples in one vectorized pass (order-equivalent to sequential calls;
+        keyframe events bind hundreds of observations, and the per-call loop
+        was a top host cost)."""
+        pts = np.asarray(pts, np.int64)
+        kfs = np.asarray(kfs, np.int64)
+        feats = np.asarray(feats, np.int64)
+        if len(pts) == 0:
+            return
+        keep = self.pt_valid[pts] & (self.kf_obs_point[kfs, feats] != pts)
+        pts, kfs, feats = pts[keep], kfs[keep], feats[keep]
+        if len(pts) == 0:
+            return
+        # Slot assignment: current fill level + running offset for points
+        # appearing multiple times within this batch.
+        order = np.argsort(pts, kind="stable")
+        ps, ks, fs = pts[order], kfs[order], feats[order]
+        idx = np.arange(len(ps))
+        first = np.concatenate([[True], ps[1:] != ps[:-1]])
+        run_start = np.maximum.accumulate(np.where(first, idx, 0))
+        slot = self.pt_n_obs[ps] + (idx - run_start)
+        ok = slot < self.cfg.max_obs_per_point  # table full: drop (rare)
+        ps, ks, fs, slot = ps[ok], ks[ok], fs[ok], slot[ok]
+        self.pt_obs_kf[ps, slot] = ks
+        self.pt_obs_feat[ps, slot] = fs
+        np.add.at(self.pt_n_obs, ps, 1)
+        self.kf_obs_point[ks, fs] = ps
+
     def remove_observation(self, pt: int, kf: int) -> None:
         """Unbind a point from a keyframe (MapPoint::EraseObservation)."""
         slots = self.pt_obs_kf[pt] == kf
@@ -177,14 +206,47 @@ class MapStore:
             # Degenerate point: reference cull rule (<=2 obs after erase).
             pass  # caller decides culling
 
+    def remove_observations(self, pts, kfs) -> None:
+        """Batched :meth:`remove_observation` over (point, keyframe) pairs —
+        the post-BA outlier erase (Optimizer.cc:520-556) calls this once with
+        every outlier observation instead of looping."""
+        pts = np.asarray(pts, np.int64)
+        kfs = np.asarray(kfs, np.int64)
+        if len(pts) == 0:
+            return
+        upts, inv = np.unique(pts, return_inverse=True)
+        M = self.cfg.max_obs_per_point
+        row_kf = self.pt_obs_kf[upts]  # [n, M]
+        rem = np.zeros((len(upts), M), bool)
+        np.logical_or.at(rem, inv, row_kf[inv] == kfs[:, None])
+        # Unbind the keyframe-side feature slots that point back at us.
+        row_ft = self.pt_obs_feat[upts]
+        kf_c = np.clip(row_kf, 0, None)
+        ft_c = np.clip(row_ft, 0, None)
+        mine = rem & (row_ft >= 0) & (self.kf_obs_point[kf_c, ft_c] == upts[:, None])
+        self.kf_obs_point[kf_c[mine], ft_c[mine]] = -1
+        # Compact each affected row: keep slots first, in stable order.
+        order = np.argsort(rem, axis=1, kind="stable")  # False (keep) first
+        self.pt_obs_kf[upts] = np.where(
+            np.take_along_axis(rem, order, 1), -1, np.take_along_axis(row_kf, order, 1)
+        )
+        self.pt_obs_feat[upts] = np.where(
+            np.take_along_axis(rem, order, 1), -1, np.take_along_axis(row_ft, order, 1)
+        )
+        self.pt_n_obs[upts] = ((self.pt_obs_kf[upts] >= 0)).sum(1)
+
     def cull_points(self, ids: np.ndarray) -> None:
-        """SetBadFlag for a batch of points: clear masks + unbind features."""
+        """SetBadFlag for a batch of points: clear masks + unbind features
+        (fully vectorized: one scatter over the observation table)."""
         ids = np.asarray(ids, np.int64)
-        for p in ids:
-            for s in range(self.pt_n_obs[p]):
-                kf, f = self.pt_obs_kf[p, s], self.pt_obs_feat[p, s]
-                if kf >= 0 and f >= 0 and self.kf_obs_point[kf, f] == p:
-                    self.kf_obs_point[kf, f] = -1
+        if len(ids) == 0:
+            return
+        kfs = self.pt_obs_kf[ids]  # [n, M]
+        fts = self.pt_obs_feat[ids]
+        kf_c = np.clip(kfs, 0, None)
+        ft_c = np.clip(fts, 0, None)
+        mine = (kfs >= 0) & (fts >= 0) & (self.kf_obs_point[kf_c, ft_c] == ids[:, None])
+        self.kf_obs_point[kf_c[mine], ft_c[mine]] = -1
         self.pt_valid[ids] = False
         self.pt_obs_kf[ids] = -1
         self.pt_obs_feat[ids] = -1
@@ -222,8 +284,7 @@ class MapStore:
         (reference KeyFrame::SetBadFlag, KeyFrame.cc:478-613; spanning-tree
         reparenting is implicit — parents are recomputed from covisibility)."""
         pts = np.unique(self.kf_obs_point[kf][self.kf_obs_point[kf] >= 0])
-        for p in pts:
-            self.remove_observation(int(p), kf)
+        self.remove_observations(pts, np.full(len(pts), kf, np.int64))
         self.kf_valid[kf] = False
         self.kf_feat_valid[kf] = False
         self.kf_obs_point[kf] = -1

@@ -54,6 +54,24 @@ def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jnp.n
     return x
 
 
+def replicate_level_edges(stack: jnp.ndarray, hb: jnp.ndarray, wb: jnp.ndarray) -> jnp.ndarray:
+    """Replicate each level's last valid row/col into the padding of a
+    [L, H, W] pyramid stack (level l's content occupies the top-left
+    (hb[l], wb[l]) corner, the rest is zero).
+
+    Needed before any spatial filter over the stack: a blur would otherwise
+    bleed the zero padding into each level's content near its right/bottom
+    boundary, darkening descriptor patches of border keypoints (the per-level
+    reference blur uses replicate edges at true level bounds,
+    ORBextractor.cc:898).
+    """
+    L, H, W = stack.shape
+    ys = jnp.minimum(jnp.arange(H, dtype=jnp.int32)[None, :], hb[:, None] - 1)
+    out = jnp.take_along_axis(stack, ys[:, :, None], axis=1)
+    xs = jnp.minimum(jnp.arange(W, dtype=jnp.int32)[None, :], wb[:, None] - 1)
+    return jnp.take_along_axis(out, xs[:, None, :], axis=2)
+
+
 def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Bilinear resize [H, W] -> [out_h, out_w] (pyramid downscale)."""
     return jax.image.resize(img, (out_h, out_w), method="bilinear")

@@ -22,6 +22,19 @@ import jax
 import jax.numpy as jnp
 
 
+def _rank_major_key(rank: jnp.ndarray, score: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Lexicographic int32 sort key: lower rank first, then higher score.
+
+    Built as ``rank * 2^21 + (2^20 - round(score * 4096))`` — the score field
+    keeps 1/4096 resolution up to 255 (FAST scores are <= ~255). A float key
+    like ``rank * 1e9 - score`` loses the score entirely for rank >= 1
+    (float32 ulp at 1e9 is 64). Invalid lanes sort last.
+    """
+    q = jnp.clip(jnp.round(score * 4096.0), 0, (1 << 20) - 1).astype(jnp.int32)
+    key = rank * (1 << 21) + ((1 << 20) - q)
+    return jnp.where(valid, key, jnp.int32(2**31 - 1))
+
+
 def balanced_cell_topk_batch(
     scores: jnp.ndarray, cell: int, k_per_cell: int, n_out: int
 ):
@@ -55,8 +68,7 @@ def balanced_cell_topk_batch(
     flat_x = xs.reshape(L, -1)
     flat_r = rank.reshape(L, -1)
     valid = flat_s > 0.0
-    big = jnp.float32(1e9)
-    key = jnp.where(valid, flat_r.astype(jnp.float32) * big - flat_s, jnp.inf)
+    key = _rank_major_key(flat_r, flat_s, valid)
     order = jnp.argsort(key, axis=1)[:, :n_out]  # [L, n_out]
     take = lambda a: jnp.take_along_axis(a, order, axis=1)
     out_xy = jnp.stack(
@@ -99,8 +111,7 @@ def balanced_cell_topk(
 
     # Rank-major key: lower rank first, then higher response. Invalid lanes
     # sort last.
-    big = jnp.float32(1e9)
-    key = jnp.where(valid, flat_r.astype(jnp.float32) * big - flat_s, jnp.inf)
+    key = _rank_major_key(flat_r, flat_s, valid)
     order = jnp.argsort(key)[:n_out]
 
     out_xy = jnp.stack(

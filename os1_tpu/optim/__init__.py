@@ -1,2 +1,11 @@
 from .pose_opt import PoseOptResult, optimize_pose  # noqa: F401
-from .ba_core import BAProblem, run_ba  # noqa: F401
+from .ba_core import (  # noqa: F401
+    BAProblem,
+    BAResult,
+    BAState,
+    ba_begin,
+    ba_iterate,
+    ba_reclassify,
+    ba_result,
+    run_ba,
+)

@@ -187,42 +187,89 @@ def classify_obs(prob: BAProblem, cam_T, points, chi2_th: float = CHI2_MONO):
     return prob.obs_valid & (chi2 <= chi2_th) & (pc[..., 2] > 0)
 
 
+class BAState(NamedTuple):
+    """Resumable LM state: run a few iterations, check the host abort flag,
+    continue — the TPU-native form of g2o's force-stop preemption
+    (``mbAbortBA`` set by keyframe insertion, LocalMapping.cc:116;
+    ``setForceStopFlag`` Optimizer.cc:65-66). Partial results are valid at
+    every chunk boundary, exactly as g2o's in-place vertex updates are."""
+
+    cam_T: jnp.ndarray
+    points: jnp.ndarray
+    active: jnp.ndarray  # [P, O] observations currently in the problem
+    lam: jnp.ndarray
+    cost: jnp.ndarray
+
+
+def ba_begin(prob: BAProblem, lam0: float = 1e-4) -> BAState:
+    return BAState(
+        cam_T=prob.cam_T,
+        points=prob.points,
+        active=prob.obs_valid,
+        lam=jnp.float32(lam0),
+        cost=_cost_only(prob, prob.cam_T, prob.points, prob.obs_valid),
+    )
+
+
+def ba_iterate(prob: BAProblem, state: BAState, n: int) -> BAState:
+    """n damped-LM iterations with branchless accept/reject."""
+
+    def body(_, s):
+        cam_T, points, lam, cost = s
+        cand_T, cand_p = _schur_step(prob, cam_T, points, state.active, lam)
+        new_cost = _cost_only(prob, cand_T, cand_p, state.active)
+        ok = new_cost < cost
+        cam_T = jnp.where(ok, cand_T, cam_T)
+        points = jnp.where(ok, cand_p, points)
+        lam = jnp.where(ok, lam * 0.5, lam * 4.0)
+        return cam_T, points, lam, jnp.where(ok, new_cost, cost)
+
+    cam_T, points, lam, cost = jax.lax.fori_loop(
+        0, n, body, (state.cam_T, state.points, state.lam, state.cost)
+    )
+    return BAState(cam_T=cam_T, points=points, active=state.active, lam=lam, cost=cost)
+
+
+def ba_reclassify(prob: BAProblem, state: BAState, lam0: float = 1e-4) -> BAState:
+    """Drop chi2/depth outliers from the active set and reset damping — the
+    boundary between the reference's 5- and 10-iteration local-BA phases
+    (Optimizer.cc:466-510)."""
+    active = classify_obs(prob, state.cam_T, state.points)
+    return BAState(
+        cam_T=state.cam_T,
+        points=state.points,
+        active=active,
+        lam=jnp.float32(lam0),
+        cost=_cost_only(prob, state.cam_T, state.points, active),
+    )
+
+
+def ba_result(prob: BAProblem, state: BAState) -> BAResult:
+    inlier = classify_obs(prob, state.cam_T, state.points)
+    return BAResult(
+        cam_T=state.cam_T, points=state.points, obs_inlier=inlier, cost=state.cost
+    )
+
+
 def run_ba(
     prob: BAProblem,
     iters: int = 5,
     reclassify_and_continue: int = 0,
     lam0: float = 1e-4,
 ) -> BAResult:
-    """LM bundle adjustment.
+    """LM bundle adjustment (single-dispatch convenience wrapper).
 
     iters: first-phase iterations over all valid observations.
     reclassify_and_continue: if > 0, after the first phase observations with
     chi2 > 5.991 are dropped and this many further iterations run — the
     reference's 5+10 LocalBundleAdjustment schedule (Optimizer.cc:466-510).
+
+    For the preemptible (abortable) form, drive ba_begin / ba_iterate /
+    ba_reclassify / ba_result yourself in host-checked chunks.
     """
-
-    def lm_loop(cam_T, points, active, n, lam):
-        def body(_, s):
-            cam_T, points, lam, cost = s
-            cand_T, cand_p = _schur_step(prob, cam_T, points, active, lam)
-            new_cost = _cost_only(prob, cand_T, cand_p, active)
-            ok = new_cost < cost
-            cam_T = jnp.where(ok, cand_T, cam_T)
-            points = jnp.where(ok, cand_p, points)
-            lam = jnp.where(ok, lam * 0.5, lam * 4.0)
-            return cam_T, points, lam, jnp.where(ok, new_cost, cost)
-
-        cost0 = _cost_only(prob, cam_T, points, active)
-        return jax.lax.fori_loop(0, n, body, (cam_T, points, lam, cost0))
-
-    active = prob.obs_valid
-    cam_T, points, lam, cost = lm_loop(
-        prob.cam_T, prob.points, active, iters, jnp.float32(lam0)
-    )
+    state = ba_begin(prob, lam0)
+    state = ba_iterate(prob, state, iters)
     if reclassify_and_continue > 0:
-        active = classify_obs(prob, cam_T, points)
-        cam_T, points, lam, cost = lm_loop(
-            cam_T, points, active, reclassify_and_continue, jnp.float32(lam0)
-        )
-    inlier = classify_obs(prob, cam_T, points)
-    return BAResult(cam_T=cam_T, points=points, obs_inlier=inlier, cost=cost)
+        state = ba_reclassify(prob, state, lam0)
+        state = ba_iterate(prob, state, reclassify_and_continue)
+    return ba_result(prob, state)

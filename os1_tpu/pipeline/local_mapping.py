@@ -8,19 +8,39 @@ programs are identical either way).
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass
+import threading
+from dataclasses import dataclass, field
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..map.store import MapStore
-from ..optim import BAProblem, run_ba
+from ..optim import (
+    BAProblem,
+    ba_begin,
+    ba_iterate,
+    ba_reclassify,
+    ba_result,
+    run_ba,
+)
+from ..utils.profiling import StageTimer
 from . import tracking_kernels as tk
 from .config import SlamConfig
 
-P_BA = 8192  # padded point capacity of the local-BA problem
-C_BA = 64  # padded camera capacity
+# Bucketed padded problem shapes: compile-once per bucket instead of one
+# worst-case 8192x64 shape (whose FLOPs AND 30s+ compile every local BA paid
+# even for a ~1k-point local map). The smallest bucket covering the local
+# map is used; typical maps stay in the first bucket.
+P_BUCKETS = (2048, 8192)  # point capacity
+C_BUCKETS = (32, 64)  # camera capacity
+P_BA = P_BUCKETS[-1]
+C_BA = C_BUCKETS[-1]
+
+_ba_begin_j = jax.jit(ba_begin)
+_ba_iterate_j = jax.jit(ba_iterate, static_argnames=("n",))
+_ba_reclassify_j = jax.jit(ba_reclassify)
+_ba_result_j = jax.jit(ba_result)
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "recls"))
@@ -77,8 +97,7 @@ def global_bundle_adjustment(store: MapStore, cfg: SlamConfig, iters: int = 20) 
     store.pt_xyz[pts] = np.asarray(res.points)
     inl = np.asarray(res.obs_inlier)
     out_i, out_s = np.nonzero(valid & ~inl)
-    for i, s in zip(out_i, out_s):
-        store.remove_observation(int(pts[i]), int(okf[i, s]))
+    store.remove_observations(pts[out_i], okf[out_i, out_s])
     dead = pts[store.pt_n_obs[pts] < 2]
     if len(dead):
         store.cull_points(dead)
@@ -88,19 +107,43 @@ def global_bundle_adjustment(store: MapStore, cfg: SlamConfig, iters: int = 20) 
 class LocalMapper:
     cfg: SlamConfig
     store: MapStore
+    timer: StageTimer = field(default_factory=StageTimer)
+    # Map lock (the reference's Map::mMutexMapUpdate): every store mutation
+    # and every read of mutable store state happens under it. Device solves
+    # run OUTSIDE it — each stage assembles inputs under the lock, dispatches,
+    # releases, blocks on the device, then re-takes it to write back.
+    lock: "threading.RLock" = field(default_factory=lambda: __import__("threading").RLock())
+    # Called (under the lock) after a mutation phase that changed point
+    # slots, so the device mirror stays consistent with the host store at
+    # every lock boundary. Wired by System to DeviceMirror.refresh_points.
+    publish_points = None
 
     on_cull_keyframe = None  # callback(kf_id), wired by System (db.erase)
+    # BA preemption flag (reference mbAbortBA, LocalMapping.cc:116): set by
+    # the tracker's InterruptBA when a new keyframe wants in; checked between
+    # LM chunks so the running local BA yields within one chunk.
+    abort_ba: bool = False
+    # Backpressure toward the tracker (SetAcceptKeyFrames,
+    # LocalMapping.cc:53,101): False while a keyframe is being processed.
+    accept_keyframes: bool = True
+    ba_iters: int = 0  # LM iterations executed (for the BA iters/s metric)
 
     def process(self, kf: int, bootstrap: bool = False) -> None:
         """Full local-mapping pass for a newly inserted keyframe
         (LocalMapping::Run body, LocalMapping.cc:58-88)."""
         if bootstrap:
             return  # the initial map was just globally optimized
-        self.cull_recent_points(kf)
-        self.create_new_points(kf)
-        self.search_in_neighbors(kf)
-        self.local_ba(kf)
-        self.cull_keyframes(kf)
+        t = self.timer
+        with t("lm.cull_points"):
+            self.cull_recent_points(kf)
+        with t("lm.triangulate"):
+            self.create_new_points(kf)
+        with t("lm.fuse"):
+            self.search_in_neighbors(kf)
+        with t("lm.local_ba"):
+            self.local_ba(kf)
+        with t("lm.cull_kfs"):
+            self.cull_keyframes(kf)
 
     # ------------------------------------------------------------------ #
     def cull_recent_points(self, kf: int) -> None:
@@ -199,9 +242,12 @@ class LocalMapper:
             st.pt_first_kf[ids] = kf
             st.pt_desc[ids] = st.kf_desc[kf, feats]
             st.pt_far[ids] = far_np[j, feats]
-            for p, f in zip(ids, feats):
-                st.add_observation(int(p), kf, int(f))
-                st.add_observation(int(p), nb, int(nb_idx_np[j, f]))
+            n_new = len(ids)
+            st.add_observations(
+                np.concatenate([ids, ids]),
+                np.concatenate([np.full(n_new, kf), np.full(n_new, nb)]),
+                np.concatenate([feats, nb_idx_np[j, feats]]),
+            )
             new_ids.append(ids)
         if new_ids:
             st.update_point_derived(
@@ -296,22 +342,43 @@ class LocalMapper:
     def _apply_fuse(self, target: int, ids: np.ndarray, ok: np.ndarray,
                     idx: np.ndarray) -> None:
         """Merge matched duplicates into `target` (ORBmatcher::Fuse apply
-        phase + MapPoint::Replace semantics, MapPoint.cc:132-175)."""
+        phase + MapPoint::Replace semantics, MapPoint.cc:132-175).
+
+        The common case — the matched feature slot is unbound, so the fuse is
+        just a new observation — is applied as ONE batched bind; only true
+        duplicates (slot already bound to a live point) walk the
+        keep-better-observed Replace path."""
         st = self.store
-        for slot in np.nonzero(ok)[0]:
-            p = int(ids[slot])
+        slots = np.nonzero(ok)[0]
+        if len(slots) == 0:
+            return
+        p_all = ids[slots]
+        f_all = idx[slots]
+        live = st.pt_valid[p_all]
+        p_all, f_all = p_all[live], f_all[live]
+        existing = st.kf_obs_point[target, f_all]
+        dup = (existing >= 0) & st.pt_valid[np.clip(existing, 0, None)]
+        # Collisions within the batch (two candidates matched the same target
+        # feature): keep the first, divert the rest through the slow path.
+        uniq_first = np.zeros(len(f_all), bool)
+        uniq_first[np.unique(f_all[~dup], return_index=True)[1]] = True
+        simple = ~dup & uniq_first
+        st.add_observations(
+            p_all[simple], np.full(int(simple.sum()), target), f_all[simple]
+        )
+        for p, f in zip(p_all[~simple], f_all[~simple]):
+            p = int(p)
             if not st.pt_valid[p]:
                 continue  # died as the loser of an earlier fuse this pass
-            f = int(idx[slot])
-            existing = int(st.kf_obs_point[target, f])
-            if existing >= 0 and st.pt_valid[existing]:
+            e = int(st.kf_obs_point[target, int(f)])
+            if e >= 0 and st.pt_valid[e] and e != p:
                 # Duplicate: keep the better-observed point (Fuse semantics).
-                if st.pt_n_obs[existing] >= st.pt_n_obs[p]:
-                    st.replace_point(p, existing)
+                if st.pt_n_obs[e] >= st.pt_n_obs[p]:
+                    st.replace_point(p, e)
                 else:
-                    st.replace_point(existing, p)
-            else:
-                st.add_observation(p, target, f)
+                    st.replace_point(e, p)
+            elif e < 0:
+                st.add_observation(p, target, int(f))
 
     # ------------------------------------------------------------------ #
     def cull_keyframes(self, kf: int) -> None:
@@ -351,7 +418,7 @@ class LocalMapper:
         pts = np.unique(pts[pts >= 0])
         # Far (quasi-infinity) points are excluded from BA, as the reference
         # excludes them from optimization (Optimizer.cc:243).
-        pts = pts[st.pt_valid[pts] & ~st.pt_far[pts]][:P_BA]
+        pts = pts[st.pt_valid[pts] & ~st.pt_far[pts]][:P_BUCKETS[-1]]
         if len(pts) < 20:
             return
 
@@ -360,7 +427,11 @@ class LocalMapper:
         observers = np.unique(obs_kf_all[obs_kf_all >= 0])
         boundary = [int(k) for k in observers if int(k) not in set(local)]
         cams = local + boundary
-        cams = cams[:C_BA]
+        cams = cams[:C_BUCKETS[-1]]
+        # Smallest padded bucket covering the problem (compile-once per
+        # bucket; see P_BUCKETS note above).
+        P_BA = next(b for b in P_BUCKETS if b >= len(pts))
+        C_BA = next(b for b in C_BUCKETS if b >= len(cams))
         cam_slot = {c: i for i, c in enumerate(cams)}
         n_local = len(local)
         fixed = np.ones(C_BA, bool)
@@ -415,7 +486,20 @@ class LocalMapper:
             obs_valid=jnp.asarray(obs_valid),
             intr=jnp.asarray(cfg.intr),
         )
-        res = _run_ba_jit(prob, 5, 10)
+        # 5+10 LM schedule (Optimizer.cc:466-510) in host-checked chunks:
+        # the second phase yields to the abort flag between 5-iter chunks
+        # (reference mbAbortBA preemption, Optimizer.cc:500-505 checks
+        # pbStopFlag between phases; g2o checks per iteration).
+        state = _ba_begin_j(prob)
+        state = _ba_iterate_j(prob, state, n=5)
+        state = _ba_reclassify_j(prob, state)
+        self.ba_iters += 5
+        for _ in range(2):
+            if self.abort_ba:
+                break
+            state = jax.block_until_ready(_ba_iterate_j(prob, state, n=5))
+            self.ba_iters += 5
+        res = _ba_result_j(prob, state)
 
         new_T = np.asarray(res.cam_T)
         for c, i in cam_slot.items():
@@ -423,12 +507,10 @@ class LocalMapper:
                 st.kf_T[c] = new_T[i]
         st.pt_xyz[pts] = np.asarray(res.points)[:P]
 
-        # Erase outlier observations (Optimizer.cc:520-556) — loop only over
-        # the (few) outliers.
+        # Erase outlier observations (Optimizer.cc:520-556), batched.
         inl = np.asarray(res.obs_inlier)[:P]
         out_i, out_s = np.nonzero(obs_valid[:P] & ~inl)
-        for i, s in zip(out_i, out_s):
-            st.remove_observation(int(pts[i]), int(okf[i, s]))
+        st.remove_observations(pts[out_i], okf[out_i, out_s])
         # Cull points left with < 2 observations.
         dead = pts[st.pt_n_obs[pts] < 2]
         if len(dead):

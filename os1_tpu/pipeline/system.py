@@ -13,6 +13,7 @@ import numpy as np
 
 from ..map.mirror import DeviceMirror
 from ..map.store import MapStore
+from ..utils.profiling import StageTimer
 from .config import SlamConfig
 from .local_mapping import LocalMapper
 from .tracking import Tracker, TrackingState
@@ -32,8 +33,12 @@ class System:
     def __post_init__(self):
         if self.store is None:
             self.store = MapStore(self.cfg.map)
+        # One shared stage timer across all pipeline components: the
+        # observability the reference lacked (SURVEY.md §5 tracing row).
+        self.timer = StageTimer()
         self.tracker = Tracker(cfg=self.cfg, store=self.store)
-        self.mapper = LocalMapper(cfg=self.cfg, store=self.store)
+        self.tracker.timer = self.timer
+        self.mapper = LocalMapper(cfg=self.cfg, store=self.store, timer=self.timer)
         self.tracker.on_new_keyframe = self._on_new_keyframe
         # Device-resident map mirror: per-frame tracking reads the map from
         # HBM; every map mutation below ends by re-publishing it (the
@@ -68,14 +73,17 @@ class System:
 
     def _on_new_keyframe(self, kf: int, bootstrap: bool = False):
         st = self.store
-        _, _, bow = self.db.compute_bow(st.kf_desc[kf], st.kf_feat_valid[kf])
-        self.db.add(kf, bow)
+        with self.timer("bow.compute"):
+            _, _, bow = self.db.compute_bow(st.kf_desc[kf], st.kf_feat_valid[kf])
+            self.db.add(kf, bow)
         self._kf_count += 1
         if self.enable_mapping:
             self.mapper.process(kf, bootstrap=bootstrap)
             if self.enable_loop_closing and not bootstrap:
-                self.loop_closer.process(kf, self._kf_count)
-        self.mirror.refresh()
+                with self.timer("loop.process"):
+                    self.loop_closer.process(kf, self._kf_count)
+        with self.timer("mirror.refresh"):
+            self.mirror.refresh()
 
     # ------------------------------------------------------------------ #
     def track_monocular(self, img, timestamp: float = 0.0):

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from ..map.store import MapStore
 from ..optim import BAProblem, run_ba
+from ..utils.profiling import StageTimer
 from . import tracking_kernels as tk
 from .config import SlamConfig
 from .frame import FrameData, make_frame_builder
@@ -62,6 +63,7 @@ class Tracker:
     on_reset = None  # callback() -> None, wired by System (clears BoW db)
     relocalizer = None  # callback(frame) -> (ok, Tcw, bind), wired by System
     trajectory: list = field(default_factory=list)
+    timer: StageTimer = field(default_factory=StageTimer)
 
     def __post_init__(self):
         self._build = make_frame_builder(self.cfg.orb)
@@ -86,23 +88,29 @@ class Tracker:
     # ------------------------------------------------------------------ #
     def track(self, img, timestamp: float = 0.0):
         """Process one grayscale image. Returns (state, Tcw or None)."""
-        frame = self._build(jnp.asarray(img), self.cfg.camera)
+        with self.timer("trk.extract"):
+            frame = self._build(jnp.asarray(img), self.cfg.camera)
         fid = self.frame_id
         self.frame_id += 1
 
         if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
-            self._monocular_initialization(frame, fid, timestamp)
+            with self.timer("trk.initialize"):
+                self._monocular_initialization(frame, fid, timestamp)
         elif self.state == TrackingState.OK:
             self._track_frame(frame, fid, timestamp)
         else:  # LOST
-            self._relocalize(frame, fid, timestamp)
+            with self.timer("trk.relocalize"):
+                self._relocalize(frame, fid, timestamp)
 
+        # Trajectory entries are recorded exactly once per accepted frame by
+        # the success paths themselves (_finish_frame / _create_initial_map /
+        # _relocalize), each stamped with the frame's OWN timestamp — in
+        # pipelined mode results lag a frame behind this return value.
         Tcw = self.last.Tcw if self.last is not None and self.state == TrackingState.OK else None
-        if Tcw is not None and not (self.pipelined and self.mirror is not None):
-            # Pipelined mode records trajectory entries in _finish_frame,
-            # stamped with each frame's OWN timestamp (results lag a frame).
-            self.trajectory.append((timestamp, fid, Tcw.copy()))
         return self.state, Tcw
+
+    def _record_trajectory(self, timestamp, fid, Tcw):
+        self.trajectory.append((timestamp, fid, Tcw.copy()))
 
     # ------------------------------------------------------------------ #
     # initialization (Tracking.cc:344-521)
@@ -156,9 +164,13 @@ class Tracker:
         pt_ids = st.alloc_points(len(feat1_ids))
         st.pt_xyz[pt_ids] = pts3d[feat1_ids]
         st.pt_first_kf[pt_ids] = k2
-        for p, f1i in zip(pt_ids, feat1_ids):
-            st.add_observation(int(p), k1, int(f1i))
-            st.add_observation(int(p), k2, int(m_idx[f1i]))
+        n_new = len(pt_ids)
+        # k1 entries precede k2 entries so each point's slot order is (k1, k2).
+        st.add_observations(
+            np.concatenate([pt_ids, pt_ids]),
+            np.concatenate([np.full(n_new, k1), np.full(n_new, k2)]),
+            np.concatenate([feat1_ids, m_idx[feat1_ids]]),
+        )
         st.update_point_derived(pt_ids, self.cfg.orb.scale_factor, self.cfg.orb.n_levels)
 
         # Global BA over the initial two-view map (Tracking.cc:470,
@@ -192,6 +204,7 @@ class Tracker:
         self._prev_Tcw = None
         self._chain = None
         self.state = TrackingState.OK
+        self._record_trajectory(timestamp, fid, self.last.Tcw)
         if self.on_new_keyframe is not None:
             self.on_new_keyframe(k1, bootstrap=True)
             self.on_new_keyframe(k2, bootstrap=True)
@@ -199,19 +212,14 @@ class Tracker:
     def _initial_ba(self, k1, k2, pt_ids):
         st = self.store
         P = len(pt_ids)
-        M = st.cfg.max_obs_per_point
-        cam_map = {k1: 0, k2: 1}
-        obs_cam = np.zeros((P, M), np.int32)
-        obs_uv = np.zeros((P, M, 2), np.float32)
-        obs_s2 = np.ones((P, M), np.float32)
-        obs_valid = np.zeros((P, M), bool)
-        for i, p in enumerate(pt_ids):
-            for s in range(st.pt_n_obs[p]):
-                kf, f = int(st.pt_obs_kf[p, s]), int(st.pt_obs_feat[p, s])
-                obs_cam[i, s] = cam_map[kf]
-                obs_uv[i, s] = st.kf_xy[kf, f]
-                obs_s2[i, s] = self.cfg.sigma2_table[st.kf_octave[kf, f]]
-                obs_valid[i, s] = True
+        okf = st.pt_obs_kf[pt_ids]  # [P, M]
+        oft = st.pt_obs_feat[pt_ids]
+        obs_valid = okf >= 0
+        okf_c = np.clip(okf, 0, None)
+        oft_c = np.clip(oft, 0, None)
+        obs_cam = np.where(okf_c == k2, 1, 0).astype(np.int32)
+        obs_uv = st.kf_xy[okf_c, oft_c]
+        obs_s2 = self.cfg.sigma2_table[st.kf_octave[okf_c, oft_c]].astype(np.float32)
         prob = BAProblem(
             cam_T=jnp.asarray(np.stack([st.kf_T[k1], st.kf_T[k2]])),
             cam_fixed=jnp.asarray([True, False]),
@@ -276,10 +284,7 @@ class Tracker:
             octave=np.asarray(frame.feats.octave) if self.mirror is None else None,
             n_inliers=n_inl,
         )
-        if self.pipelined:
-            # In pipelined mode the caller saw this frame's predecessor;
-            # record the trajectory entry here with ITS OWN timestamp.
-            self.trajectory.append((timestamp, fid, Tcw.copy()))
+        self._record_trajectory(timestamp, fid, Tcw)
         if self._need_new_keyframe(n_inl, fid):
             self._create_new_keyframe(frame, fid, timestamp, bind)
 
@@ -360,14 +365,15 @@ class Tracker:
         if self._fused is None:
             self._fused = tracking_fused.make_fused_tracker(self.cfg)
         mir = self.mirror
-        local_ids, local_valid = self._local_candidates(host_bind)
+        with self.timer("trk.local_select"):
+            local_ids, local_valid = self._local_candidates(host_bind)
         out = self._fused(
             mir.pt_xyz, mir.pt_desc, mir.pt_valid, mir.pt_normal,
             mir.pt_min_dist, mir.pt_max_dist,
             mir.kf_desc, mir.kf_angle, mir.kf_obs_point,
             frame, self.cfg.camera, self._intr,
             last_T, prev_T, last_bind, last_octave,
-            jnp.int32(max(self.ref_kf, 0)),
+            jnp.int32(max(self.ref_kf, 0)), jnp.bool_(self.ref_kf >= 0),
             jnp.asarray(local_ids), jnp.asarray(local_valid),
             jnp.asarray(has_vel),
         )
@@ -376,7 +382,8 @@ class Tracker:
     def _apply_result(self, frame, fid, timestamp, out, local_ids):
         """Materialize one fused result and run the FSM tail for its frame."""
         st = self.store
-        host = jax.device_get(out)
+        with self.timer("trk.readback"):
+            host = jax.device_get(out)
         if not bool(host["pre_ok"]):
             self._mark_lost(frame, fid, timestamp, self.last.Tcw)
             return
@@ -600,23 +607,22 @@ class Tracker:
         st = self.store
         if int((~st.kf_valid).sum()) == 0:
             return
-        k = st.add_keyframe(
-            self.last.Tcw, np.asarray(frame.xy_un),
-            np.asarray(frame.feats.angle), np.asarray(frame.feats.octave),
-            np.asarray(frame.feats.desc), np.asarray(frame.feats.valid),
-            frame_id=fid, timestamp=timestamp,
-        )
-        touched = []
-        for f in np.nonzero(bind >= 0)[0]:
-            p = int(bind[f])
-            if st.pt_valid[p]:
-                st.add_observation(p, k, int(f))
-                touched.append(p)
-        st.update_point_derived(
-            np.unique(touched), self.cfg.orb.scale_factor, self.cfg.orb.n_levels
-        )
-        self.ref_kf = k
-        self.last_kf_frame_id = fid
+        with self.timer("trk.create_kf"):
+            k = st.add_keyframe(
+                self.last.Tcw, np.asarray(frame.xy_un),
+                np.asarray(frame.feats.angle), np.asarray(frame.feats.octave),
+                np.asarray(frame.feats.desc), np.asarray(frame.feats.valid),
+                frame_id=fid, timestamp=timestamp,
+            )
+            f_idx = np.nonzero(bind >= 0)[0]
+            p_ids = bind[f_idx]
+            live = st.pt_valid[p_ids]
+            st.add_observations(p_ids[live], np.full(int(live.sum()), k), f_idx[live])
+            st.update_point_derived(
+                np.unique(p_ids[live]), self.cfg.orb.scale_factor, self.cfg.orb.n_levels
+            )
+            self.ref_kf = k
+            self.last_kf_frame_id = fid
         if self.on_new_keyframe is not None:
             self.on_new_keyframe(k)
 
@@ -641,6 +647,7 @@ class Tracker:
                 self._chain = None
                 self.last_reloc_frame_id = fid
                 self.state = TrackingState.OK
+                self._record_trajectory(timestamp, fid, self.last.Tcw)
 
     def reset(self):
         """Full tracker reset (Tracking::Reset, Tracking.cc:1133-1175)."""

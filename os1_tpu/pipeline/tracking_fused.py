@@ -83,7 +83,8 @@ def make_fused_tracker(cfg: SlamConfig):
         prev_T: jnp.ndarray,  # [4, 4] pose of the frame before that
         last_bind: jnp.ndarray,  # [N] i32 global point id per last-frame feature
         last_octave: jnp.ndarray,  # [N] i32 last-frame feature octaves
-        ref_kf: jnp.ndarray,  # scalar i32
+        ref_kf: jnp.ndarray,  # scalar i32 (clamped; see ref_ok)
+        ref_ok: jnp.ndarray,  # scalar bool — False when no reference KF exists
         local_ids: jnp.ndarray,  # [L] i32 local-map candidate point ids
         local_valid: jnp.ndarray,  # [L] bool
         has_velocity: jnp.ndarray,  # scalar bool
@@ -155,7 +156,10 @@ def make_fused_tracker(cfg: SlamConfig):
                 frame, intr,
             )
             g2 = jnp.where(b2 >= 0, obs[jnp.clip(b2, 0, n_feat - 1)], NEG)
-            return T2, g2, n2, n2 >= th.min_refkf_inliers
+            # A missing reference keyframe (ref_kf < 0 on host, clamped to 0
+            # here) must fail cleanly instead of silently matching slot 0 —
+            # the unfused path returns failure when ref_kf < 0.
+            return T2, g2, n2, (n2 >= th.min_refkf_inliers) & ref_ok
 
         T_pre, g_pre, n_pre, ok_pre = lax.cond(
             ok1, lambda: (T1, g1, n1, True), refkf_branch

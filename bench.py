@@ -40,7 +40,7 @@ def build_system():
         orb=OrbConfig(height=H, width=W, n_features=1024, n_levels=8),
         map=MapConfig(max_keyframes=128, max_points=16384, n_features=1024),
     )
-    return System(cfg=cfg, pipelined=True)
+    return System(cfg=cfg, pipelined=True, async_mapping=True)
 
 
 def run_sequence(sys_, frames):
@@ -71,9 +71,12 @@ def main():
     poses = synthetic.orbit_trajectory(N_FRAMES, advance=0.05)
     frames = [synthetic.render(scene, T, K, 480, 640) for T in poses]
 
-    # Warmup pass: every program (incl. keyframe-event shapes) compiles here.
+    # Warmup: explicit compile of every device program + bucket shape, then
+    # one full pass for anything data-dependent.
     sys_ = build_system()
+    warm_s = sys_.warmup()
     run_sequence(sys_, frames)
+    sys_.shutdown()
 
     # Timed pass on a fresh system: identical shapes, zero compiles.
     sys_ = build_system()

@@ -106,25 +106,27 @@ def _brief_pattern(seed: int) -> np.ndarray:
     return np.clip(pts, -BRIEF_RADIUS, BRIEF_RADIUS).astype(np.float32)
 
 
-def _rotated_pattern_table(seed: int, patch: int) -> np.ndarray:
-    """[N_ORIENT, 256*2] int32: flat patch indices of every BRIEF sample for
-    each discrete pattern orientation, nearest-pixel rounded.
+def _rotated_offset_table(seed: int, row_stride: int) -> np.ndarray:
+    """[N_ORIENT, 256*2] int32: FLAT-IMAGE offsets (dy * row_stride + dx) of
+    every BRIEF sample for each discrete pattern orientation, nearest-pixel
+    rounded.
 
     The steered pattern is precomputed per orientation bin — sampling a
-    descriptor is then ONE gather per keypoint instead of per-sample bilinear
-    interpolation (this is also how OpenCV's ORB steers BRIEF: nearest-pixel
-    reads of a rotated pattern, ORBextractor.cc computeOrbDescriptor)."""
+    descriptor is then ONE flat gather per keypoint straight from the blurred
+    pyramid stack, no per-keypoint patch materialization (this is also how
+    OpenCV's ORB steers BRIEF: nearest-pixel reads of a rotated pattern,
+    ORBextractor.cc computeOrbDescriptor)."""
     pat = _brief_pattern(seed)  # [256, 2, 2] (x, y)
-    half = patch // 2
+    r = BRIEF_RADIUS + 1
     tables = []
     for a in range(N_ORIENT):
         th = 2.0 * np.pi * a / N_ORIENT
         c, s = np.cos(th), np.sin(th)
         x = pat[..., 0] * c - pat[..., 1] * s
         y = pat[..., 0] * s + pat[..., 1] * c
-        xi = np.clip(np.round(half + x), 0, patch - 1).astype(np.int64)
-        yi = np.clip(np.round(half + y), 0, patch - 1).astype(np.int64)
-        tables.append((yi * patch + xi).reshape(-1))
+        xi = np.clip(np.round(x), -r, r).astype(np.int64)
+        yi = np.clip(np.round(y), -r, r).astype(np.int64)
+        tables.append((yi * row_stride + xi).reshape(-1))
     return np.stack(tables).astype(np.int32)
 
 
@@ -135,6 +137,24 @@ def _ic_weights(patch: int = PATCH) -> tuple[np.ndarray, np.ndarray]:
     ys, xs = np.mgrid[-r : r + 1, -r : r + 1]
     disc = (xs * xs + ys * ys) <= (PATCH // 2) ** 2
     return (xs * disc).astype(np.float32), (ys * disc).astype(np.float32)
+
+
+def _ic_offsets_strided(row_stride: int, stride: int = 2):
+    """Strided intensity-centroid sample set: (flat offsets [S], wx [S],
+    wy [S]) over the radius-15 orientation disc, sampled every ``stride``
+    pixels. The moments are computed on the sigma=2 blurred image, which is
+    band-limited well below the stride-2 Nyquist rate, so the strided sums
+    track the reference's dense disc (IC_Angle, ORBextractor.cc:86-113) to
+    well under the 5.6-degree orientation bin width — at 1/4 the gather
+    traffic."""
+    r = PATCH // 2
+    ys, xs = np.mgrid[-r : r + 1 : stride, -r : r + 1 : stride]
+    disc = (xs * xs + ys * ys) <= r * r
+    keep = disc.reshape(-1)
+    off = (ys * row_stride + xs).reshape(-1)[keep]
+    wx = xs.reshape(-1)[keep].astype(np.float32)
+    wy = ys.reshape(-1)[keep].astype(np.float32)
+    return off.astype(np.int32), wx, wy
 
 
 @functools.lru_cache(maxsize=8)
@@ -155,9 +175,9 @@ def make_extractor(cfg: OrbConfig):
     Ry, Rx = (jnp.asarray(a) for a in image.pyramid_matrices(cfg.height, cfg.width, sizes))
     hb = jnp.asarray(np.array([h for h, _ in sizes], np.int32))
     wb = jnp.asarray(np.array([w for _, w in sizes], np.int32))
-    PATCH_B = 2 * BORDER + 1  # descriptor patch: covers rotated BRIEF radius
-    wx, wy = (jnp.asarray(a) for a in _ic_weights(PATCH_B))
-    sample_table = jnp.asarray(_rotated_pattern_table(cfg.seed, PATCH_B))
+    ic_off, ic_wx, ic_wy = _ic_offsets_strided(cfg.width)
+    ic_off, ic_wx, ic_wy = jnp.asarray(ic_off), jnp.asarray(ic_wx), jnp.asarray(ic_wy)
+    sample_table = jnp.asarray(_rotated_offset_table(cfg.seed, cfg.width))
 
     @jax.jit
     def extract(img: jnp.ndarray) -> FrameFeatures:
@@ -182,27 +202,38 @@ def make_extractor(cfg: OrbConfig):
         lvl = jax.lax.broadcasted_iota(jnp.int32, (L, n_max), 0).reshape(-1)
         xy_f = xy.reshape(-1, 2)
 
-        # One 39x39 blurred patch per keypoint feeds BOTH the orientation
-        # moments and the descriptor samples (the blur is isotropic, so the
-        # intensity-centroid direction matches the raw-image one; the
-        # reference blurs before BRIEF too, ORBextractor.cc:898). Level edges
-        # are replicated into the stack padding first so the blur cannot
-        # bleed zeros into border patches on the upper levels.
+        # The blurred stack feeds BOTH the orientation moments and the
+        # descriptor samples (the blur is isotropic, so the intensity-
+        # centroid direction matches the raw-image one; the reference blurs
+        # before BRIEF too, ORBextractor.cc:898). Level edges are replicated
+        # into the stack padding first so the blur cannot bleed zeros into
+        # border samples on the upper levels. Keypoints sit >= BORDER from
+        # their level bounds, so every sample below stays inside level
+        # content; sampling is direct FLAT gathers from the stack — no
+        # per-keypoint patch materialization (the vmapped dynamic-slice
+        # version cost ~6 ms/frame on TPU, ~3x all the gathers here).
         blurred = image.gaussian_blur(image.replicate_level_edges(pyr, hb, wb))
-        bpatches = image.extract_patches_stack(blurred, lvl, xy_f, PATCH_B)
-        m10 = jnp.sum(bpatches * wx, axis=(-2, -1))
-        m01 = jnp.sum(bpatches * wy, axis=(-2, -1))
+        flat = blurred.reshape(-1)
+        size = flat.shape[0]
+        H, W = cfg.height, cfg.width
+        cx = jnp.round(xy_f[:, 0]).astype(jnp.int32)
+        cy = jnp.round(xy_f[:, 1]).astype(jnp.int32)
+        base = (lvl * H + cy) * W + cx  # flat index of each keypoint center
+
+        # Orientation: strided intensity-centroid disc (see _ic_offsets_strided).
+        s_or = flat[jnp.clip(base[:, None] + ic_off[None, :], 0, size - 1)]
+        m10 = s_or @ ic_wx
+        m01 = s_or @ ic_wy
         angle = jnp.arctan2(m01, m10)  # [L*n_max]
 
         # Descriptors: steered BRIEF via the precomputed per-orientation
-        # nearest-pixel sample table — one gather per keypoint.
+        # nearest-pixel flat-offset table — one gather per keypoint.
         two_pi = 2.0 * jnp.pi
         abin = (
             jnp.round(jnp.mod(angle, two_pi) * (N_ORIENT / two_pi)).astype(jnp.int32)
             % N_ORIENT
         )
-        flat = bpatches.reshape(bpatches.shape[0], PATCH_B * PATCH_B)
-        samples = jnp.take_along_axis(flat, sample_table[abin], axis=1)
+        samples = flat[jnp.clip(base[:, None] + sample_table[abin], 0, size - 1)]
         samples = samples.reshape(-1, hamming.BITS, 2)
         desc = hamming.pack_bits(samples[..., 0] < samples[..., 1])
 

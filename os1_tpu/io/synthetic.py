@@ -109,6 +109,47 @@ def render(scene, Tcw: np.ndarray, K: np.ndarray, h: int, w: int,
     return img.astype(np.float32)
 
 
+def room_scene(seed=0, half_size: float = 6.0, half_h: float = 2.5) -> list[TexturedPlane]:
+    """Four inward-facing textured walls of a square room — the rendered rig
+    for end-to-end loop-closure tests: a camera circling inside revisits its
+    starting view after 360 degrees."""
+    S, hh = half_size, half_h
+    walls = []
+    specs = [
+        (np.array([-S, -hh, S]), np.array([2 * S, 0.0, 0.0])),   # z = +S
+        (np.array([S, -hh, -S]), np.array([-2 * S, 0.0, 0.0])),  # z = -S
+        (np.array([S, -hh, S]), np.array([0.0, 0.0, -2 * S])),   # x = +S
+        (np.array([-S, -hh, -S]), np.array([0.0, 0.0, 2 * S])),  # x = -S
+    ]
+    for i, (origin, u) in enumerate(specs):
+        walls.append(TexturedPlane(
+            origin=origin, u_axis=u, v_axis=np.array([0.0, 2 * hh, 0.0]),
+            texture=smooth_texture(512, 512, 44 + 6 * i, seed=seed + i),
+        ))
+    return walls
+
+
+def loop_trajectory(n_frames: int, radius: float = 1.5,
+                    revolutions: float = 1.15) -> list[np.ndarray]:
+    """Closed-circuit trajectory: the camera moves on a circle in the x-z
+    plane looking radially outward, covering ``revolutions`` turns — the
+    final ~0.15 turn revisits the start and exercises loop closure.
+    Returns Tcw matrices (world = circle center frame)."""
+    poses = []
+    for i in range(n_frames):
+        th = 2.0 * np.pi * revolutions * i / max(n_frames - 1, 1)
+        fwd = np.array([np.sin(th), 0.0, np.cos(th)])
+        right = np.array([np.cos(th), 0.0, -np.sin(th)])
+        down = np.array([0.0, 1.0, 0.0])
+        Rwc = np.stack([right, down, fwd], axis=1)  # columns = camera axes
+        pos = radius * fwd + np.array([0.0, 0.05 * np.sin(3 * th), 0.0])
+        Tcw = np.eye(4)
+        Tcw[:3, :3] = Rwc.T
+        Tcw[:3, 3] = -Rwc.T @ pos
+        poses.append(Tcw.astype(np.float32))
+    return poses
+
+
 def orbit_trajectory(n_frames: int, radius: float = 0.04,
                      advance: float = 0.06) -> list[np.ndarray]:
     """Sideways-dominant smooth trajectory with small rotations: good

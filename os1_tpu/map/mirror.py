@@ -78,6 +78,35 @@ class DeviceMirror:
         self.kf_obs_point = jnp.asarray(st.kf_obs_point)
         self.version += 1
 
+    def refresh_dynamic(self) -> None:
+        """Re-publish everything that MUTATES after keyframe insertion: the
+        whole point block plus the mutable keyframe arrays (poses, liveness,
+        bindings). The static per-keyframe feature arrays (xy/angle/octave/
+        desc — written once at insertion, ~5.5 MB of the full refresh) are
+        uploaded per-row by :meth:`insert_keyframe_row` instead."""
+        st = self.store
+        self.pt_xyz = jnp.asarray(st.pt_xyz)
+        self.pt_desc = jnp.asarray(st.pt_desc)
+        self.pt_valid = jnp.asarray(st.pt_valid)
+        self.pt_normal = jnp.asarray(st.pt_normal)
+        self.pt_min_dist = jnp.asarray(st.pt_min_dist)
+        self.pt_max_dist = jnp.asarray(st.pt_max_dist)
+        self.pt_n_obs = jnp.asarray(st.pt_n_obs)
+        self.pt_obs_kf = jnp.asarray(st.pt_obs_kf)
+        self.kf_T = jnp.asarray(st.kf_T)
+        self.kf_valid = jnp.asarray(st.kf_valid)
+        self.kf_feat_valid = jnp.asarray(st.kf_feat_valid)
+        self.kf_obs_point = jnp.asarray(st.kf_obs_point)
+        self.version += 1
+
+    def insert_keyframe_row(self, k: int) -> None:
+        """Publish one new keyframe's static feature arrays (row k)."""
+        st = self.store
+        self.kf_xy = self.kf_xy.at[k].set(jnp.asarray(st.kf_xy[k]))
+        self.kf_angle = self.kf_angle.at[k].set(jnp.asarray(st.kf_angle[k]))
+        self.kf_octave = self.kf_octave.at[k].set(jnp.asarray(st.kf_octave[k]))
+        self.kf_desc = self.kf_desc.at[k].set(jnp.asarray(st.kf_desc[k]))
+
     def refresh_points(self) -> None:
         """Re-publish only the point block (pose-graph-free map events)."""
         st = self.store

@@ -53,6 +53,11 @@ class MapStore:
     kf_desc: np.ndarray = field(init=False)  # [K, N, 8] uint32
     kf_feat_valid: np.ndarray = field(init=False)  # [K, N] bool
     kf_obs_point: np.ndarray = field(init=False)  # [K, N] int32, -1 = unbound
+    # Spanning tree (KeyFrame::mpParent/mspChildrens, KeyFrame.h:862,887):
+    # parent keyframe id per keyframe, -1 for roots. Children are derived
+    # (kf_parent == k). Maintained by local mapping on first covisibility
+    # update and repaired on culling (SetBadFlag reparenting).
+    kf_parent: np.ndarray = field(init=False)  # [K] int32
 
     # --- map points ---
     pt_xyz: np.ndarray = field(init=False)  # [P, 3]
@@ -71,6 +76,11 @@ class MapStore:
     pt_far: np.ndarray = field(init=False)  # [P] bool quasi-infinity flag
 
     def __post_init__(self):
+        # Epoch counter: bumped every time the store is cleared (reset /
+        # reinit). Async workers snapshot it with their inputs and discard
+        # writebacks whose epoch no longer matches — a reset between a
+        # worker's dispatch and its writeback must not resurrect dead state.
+        self.epoch = getattr(self, "epoch", -1) + 1
         K, P, N, M = (
             self.cfg.max_keyframes,
             self.cfg.max_points,
@@ -87,6 +97,7 @@ class MapStore:
         self.kf_desc = np.zeros((K, N, 8), np.uint32)
         self.kf_feat_valid = np.zeros((K, N), bool)
         self.kf_obs_point = np.full((K, N), -1, np.int32)
+        self.kf_parent = np.full(K, -1, np.int32)
 
         self.pt_xyz = np.zeros((P, 3), np.float32)
         self.pt_valid = np.zeros(P, bool)
@@ -279,15 +290,56 @@ class MapStore:
         self.pt_obs_feat[loser] = -1
         self.pt_n_obs[loser] = 0
 
+    def update_spanning_tree(self, kf: int) -> None:
+        """Assign kf's parent on its first covisibility update: the
+        strongest covisible keyframe (KeyFrame::UpdateConnections first-
+        connection path, KeyFrame.cc:383-391). Roots keep parent = -1."""
+        if self.kf_parent[kf] >= 0:
+            return
+        w = self.covisibility_weights(kf)
+        w[kf:] = 0  # parent must predate the child (acyclic by construction)
+        best = int(np.argmax(w))
+        if w[best] > 0:
+            self.kf_parent[kf] = best
+
+    def children_of(self, kf: int) -> np.ndarray:
+        return np.nonzero(self.kf_valid & (self.kf_parent == kf))[0]
+
+    def _reparent_children(self, kf: int) -> None:
+        """KeyFrame::SetBadFlag reparenting (KeyFrame.cc:499-585): each child
+        adopts its strongest covisible among a growing candidate set seeded
+        with the dying keyframe's parent; leftovers fall back to that parent."""
+        children = set(int(c) for c in self.children_of(kf))
+        if not children:
+            return
+        parent = int(self.kf_parent[kf])
+        candidates = {parent} if parent >= 0 else set()
+        while children and candidates:
+            best_w, best_child, best_parent = 0, -1, -1
+            for c in children:
+                w = self.covisibility_weights(c)
+                for cand in candidates:
+                    if w[cand] > best_w:
+                        best_w, best_child, best_parent = int(w[cand]), c, cand
+            if best_child < 0:
+                break
+            self.kf_parent[best_child] = best_parent
+            candidates.add(best_child)
+            children.discard(best_child)
+        for c in children:  # no covisibility with any candidate
+            self.kf_parent[c] = parent
+
     def cull_keyframe(self, kf: int) -> None:
-        """SetBadFlag for a keyframe: release its observations and slot
-        (reference KeyFrame::SetBadFlag, KeyFrame.cc:478-613; spanning-tree
-        reparenting is implicit — parents are recomputed from covisibility)."""
+        """SetBadFlag for a keyframe: reparent its spanning-tree children,
+        release its observations, free the slot (KeyFrame::SetBadFlag,
+        KeyFrame.cc:478-613)."""
+        self._reparent_children(kf)
         pts = np.unique(self.kf_obs_point[kf][self.kf_obs_point[kf] >= 0])
         self.remove_observations(pts, np.full(len(pts), kf, np.int64))
         self.kf_valid[kf] = False
         self.kf_feat_valid[kf] = False
         self.kf_obs_point[kf] = -1
+        self.kf_parent[kf] = -1
 
     # ------------------------------------------------------------------ #
     # derived structures

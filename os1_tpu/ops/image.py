@@ -105,9 +105,20 @@ def pyramid_matrices(h: int, w: int, level_sizes) -> tuple[np.ndarray, np.ndarra
 
 def build_pyramid_stack(img: jnp.ndarray, Ry: jnp.ndarray, Rx: jnp.ndarray) -> jnp.ndarray:
     """[H, W] -> padded pyramid stack [L, H, W] (level l occupies the
-    top-left (h_l, w_l) corner; the rest is zero)."""
-    t = jnp.einsum("lhy,yx->lhx", Ry, img)
-    return jnp.einsum("lhx,lwx->lhw", t, Rx)
+    top-left (h_l, w_l) corner; the rest is zero).
+
+    The resize matmuls run in bf16 (f32 accumulation): for 0-255 intensities
+    the rounding is <= 0.5 gray level on the DOWNSCALED levels only — level 0
+    is injected exactly, so full-resolution FAST scores stay bit-faithful."""
+    t = jnp.einsum(
+        "lhy,yx->lhx", Ry[1:].astype(jnp.bfloat16), img.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    rest = jnp.einsum(
+        "lhx,lwx->lhw", t.astype(jnp.bfloat16), Rx[1:].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.concatenate([img[None], rest], axis=0)
 
 
 def extract_patches_stack(

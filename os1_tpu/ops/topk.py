@@ -35,6 +35,26 @@ def _rank_major_key(rank: jnp.ndarray, score: jnp.ndarray, valid: jnp.ndarray) -
     return jnp.where(valid, key, jnp.int32(2**31 - 1))
 
 
+def _iterative_topk(cells: jnp.ndarray, k: int):
+    """top-k over the last axis by k repeated masked argmax passes.
+
+    For the small k used here (k_per_cell ~ 4), k max-reductions over the
+    cell axis are a handful of elementwise passes, while lax.top_k lowers to
+    a full per-cell sort (measured ~3.6 ms vs ~1 ms on the extractor's
+    [8, 1200, 256] shape). Ties break toward the lower index, like a sort.
+    """
+    vals = cells
+    iota = jax.lax.broadcasted_iota(jnp.int32, cells.shape, cells.ndim - 1)
+    out_s, out_i = [], []
+    for _ in range(k):
+        i = jnp.argmax(vals, axis=-1)
+        v = jnp.take_along_axis(vals, i[..., None], axis=-1)[..., 0]
+        out_s.append(v)
+        out_i.append(i.astype(jnp.int32))
+        vals = jnp.where(iota == i[..., None], -jnp.inf, vals)
+    return jnp.stack(out_s, axis=-1), jnp.stack(out_i, axis=-1)
+
+
 def balanced_cell_topk_batch(
     scores: jnp.ndarray, cell: int, k_per_cell: int, n_out: int
 ):
@@ -55,7 +75,7 @@ def balanced_cell_topk_batch(
         .transpose(0, 1, 3, 2, 4)
         .reshape(L, hc * wc, cell * cell)
     )
-    top_s, top_i = jax.lax.top_k(cells, k_per_cell)  # [L, M, k]
+    top_s, top_i = _iterative_topk(cells, k_per_cell)  # [L, M, k]
     M = hc * wc
     cy = jax.lax.broadcasted_iota(jnp.int32, (L, M, k_per_cell), 1) // wc
     cx = jax.lax.broadcasted_iota(jnp.int32, (L, M, k_per_cell), 1) % wc
@@ -94,7 +114,7 @@ def balanced_cell_topk(
     hc, wc = s.shape[0] // cell, s.shape[1] // cell
     cells = s.reshape(hc, cell, wc, cell).transpose(0, 2, 1, 3).reshape(hc * wc, cell * cell)
 
-    top_s, top_i = jax.lax.top_k(cells, k_per_cell)  # [M, k]
+    top_s, top_i = _iterative_topk(cells, k_per_cell)  # [M, k]
     cy = jax.lax.broadcasted_iota(jnp.int32, (hc * wc, k_per_cell), 0) // wc
     cx = jax.lax.broadcasted_iota(jnp.int32, (hc * wc, k_per_cell), 0) % wc
     iy = top_i // cell

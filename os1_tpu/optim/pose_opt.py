@@ -63,12 +63,23 @@ def optimize_pose(
     intr: jnp.ndarray,
     rounds: int = 4,
     iters_per_round: int = 10,
+    accept_reject: bool = True,
 ) -> PoseOptResult:
-    """LM pose-only solve.
+    """Pose-only solve.
 
     points: [N, 3] world positions of matched map points; uv: [N, 2]
     undistorted pixel measurements; sigma2: [N] per-octave squared scale;
     valid: [N] match mask; intr: [4] (fx, fy, cx, cy).
+
+    accept_reject=True is classic LM (two cost evaluations per iteration,
+    branchless step rejection — matches g2o's behavior). accept_reject=False
+    is damped Gauss-Newton: ONE normal-system evaluation per iteration and
+    every step taken. On TPU the solve is a latency-bound sequential chain of
+    tiny ops, so halving evaluations halves wall time; with a motion-model
+    initialization and Huber IRLS the GN steps are reliably descent steps,
+    and the per-round chi2 reclassification discards any observation a bad
+    step would have misclassified. The hot fused tracker uses GN with fewer
+    iterations (tracking_kernels.py); cold paths (relocalization) keep LM.
     """
 
     def lm_round(round_state):
@@ -76,13 +87,15 @@ def optimize_pose(
         lam0 = jnp.float32(1e-3)
 
         def lm_iter(_, s):
-            Tcw, lam, _ = s
+            Tcw, lam, cost_prev = s
             H, b, cost, _ = _normal_system(Tcw, points, uv, intr, sigma2, inlier)
             Hd = H + lam * jnp.diag(jnp.diag(H))
             delta = -jnp.linalg.solve(
                 Hd + 1e-10 * jnp.eye(6, dtype=H.dtype), b
             )
             T_new = se3.exp(delta) @ Tcw
+            if not accept_reject:
+                return T_new, lam, cost
             _, _, cost_new, _ = _normal_system(
                 T_new, points, uv, intr, sigma2, inlier
             )

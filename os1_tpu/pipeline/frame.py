@@ -21,6 +21,25 @@ class FrameData(NamedTuple):
     feats: FrameFeatures  # raw pixel coords (reference mvKeys)
     xy_un: jnp.ndarray  # [N, 2] undistorted coords (reference mvKeysUn)
     sigma2: jnp.ndarray  # [N] per-feature squared octave scale
+    # Everything keyframe insertion needs, pre-packed into ONE [N, 13] f32
+    # array (xy_un | angle | octave | valid | desc bits x8): the tunneled
+    # TPU's d2h path costs ~9 ms latency per transfer, so fetching 5 arrays
+    # separately at keyframe creation cost ~5x that.
+    host_pack: jnp.ndarray = None
+
+
+def unpack_host(pack: "np.ndarray"):
+    """Host-side split of FrameData.host_pack ->
+    (xy_un, angle, octave, desc, valid)."""
+    import numpy as np
+
+    pack = np.ascontiguousarray(pack)
+    xy_un = pack[:, :2]
+    angle = pack[:, 2]
+    octave = pack[:, 3].astype(np.int32)
+    valid = pack[:, 4] > 0.5
+    desc = np.ascontiguousarray(pack[:, 5:13]).view(np.uint32)
+    return xy_un, angle, octave, desc, valid
 
 
 @functools.lru_cache(maxsize=8)
@@ -33,6 +52,16 @@ def make_frame_builder(orb_cfg: OrbConfig):
         feats = extractor(img)
         xy_un = cam_mod.undistort_pixels(cam, feats.xy)
         sigma2 = sigma2_table[feats.octave]
-        return FrameData(feats=feats, xy_un=xy_un, sigma2=sigma2)
+        pack = jnp.concatenate(
+            [
+                xy_un,
+                feats.angle[:, None],
+                feats.octave.astype(jnp.float32)[:, None],
+                feats.valid.astype(jnp.float32)[:, None],
+                jax.lax.bitcast_convert_type(feats.desc, jnp.float32),
+            ],
+            axis=1,
+        )
+        return FrameData(feats=feats, xy_un=xy_un, sigma2=sigma2, host_pack=pack)
 
     return build

@@ -48,22 +48,23 @@ def _run_ba_jit(prob, iters, recls):
     return run_ba(prob, iters=iters, reclassify_and_continue=recls)
 
 
-def global_bundle_adjustment(store: MapStore, cfg: SlamConfig, iters: int = 20) -> None:
-    """Full-map BA (Optimizer::GlobalBundleAdjustemnt [sic], Optimizer.cc:41-46:
-    all keyframes free except the first, all non-far points, 20 iterations).
-    Writes results back into the store and erases outlier observations."""
+def assemble_global_ba(store: MapStore, cfg: SlamConfig):
+    """Snapshot the full-map BA problem (Optimizer::GlobalBundleAdjustemnt
+    [sic], Optimizer.cc:41-46: all keyframes free except the first, all
+    non-far points). Call under the map lock. Returns (prob, meta) or None."""
     cams = [int(k) for k in np.nonzero(store.kf_valid)[0]]
     if len(cams) < 2:
-        return
-    C = len(cams)
+        return None
+    # Padded bucket shapes (exact sizes would recompile on every call).
+    K_cap = store.cfg.max_keyframes
+    C = next(b for b in (32, 64, 128, 256, K_cap) if b >= len(cams))
     cam_slot = {c: i for i, c in enumerate(cams)}
     pts = np.nonzero(store.pt_valid & ~store.pt_far & (store.pt_n_obs >= 2))[0]
-    P_cap = store.cfg.max_points
-    pts = pts[:P_cap]
-    P = len(pts)
-    if P < 20:
-        return
-    M = store.cfg.max_obs_per_point
+    pts = pts[: store.cfg.max_points]
+    n_pts = len(pts)
+    if n_pts < 20:
+        return None
+    P = next(b for b in (4096, store.cfg.max_points) if b >= n_pts)
 
     okf = store.pt_obs_kf[pts]
     oft = store.pt_obs_feat[pts]
@@ -75,32 +76,112 @@ def global_bundle_adjustment(store: MapStore, cfg: SlamConfig, iters: int = 20) 
     slots = lookup[okf_c]
     valid = (okf >= 0) & (slots >= 0)
 
-    fixed = np.zeros(C, bool)
+    fixed = np.ones(C, bool)  # padding slots stay fixed at identity
+    fixed[: len(cams)] = False
     fixed[cam_slot[min(cams)]] = True  # gauge: first keyframe (Optimizer.cc:120)
+    cam_T = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
+    cam_T[: len(cams)] = store.kf_T[cams]
+    M = store.cfg.max_obs_per_point
+    obs_cam = np.zeros((P, M), np.int32)
+    obs_uv = np.zeros((P, M, 2), np.float32)
+    obs_s2 = np.ones((P, M), np.float32)
+    obs_valid = np.zeros((P, M), bool)
+    obs_cam[:n_pts] = np.where(valid, slots, 0)
+    obs_uv[:n_pts] = store.kf_xy[okf_c, oft_c]
+    obs_s2[:n_pts] = cfg.sigma2_table[store.kf_octave[okf_c, oft_c]]
+    obs_valid[:n_pts] = valid
+    points = np.zeros((P, 3), np.float32)
+    points[:n_pts] = store.pt_xyz[pts]
+    pvalid = np.zeros(P, bool)
+    pvalid[:n_pts] = True
 
     prob = BAProblem(
-        cam_T=jnp.asarray(store.kf_T[cams]),
+        cam_T=jnp.asarray(cam_T),
         cam_fixed=jnp.asarray(fixed),
-        points=jnp.asarray(store.pt_xyz[pts]),
-        point_valid=jnp.ones(P, bool),
-        obs_cam=jnp.asarray(np.where(valid, slots, 0)),
-        obs_uv=jnp.asarray(store.kf_xy[okf_c, oft_c]),
-        obs_sigma2=jnp.asarray(cfg.sigma2_table[store.kf_octave[okf_c, oft_c]]),
-        obs_valid=jnp.asarray(valid),
+        points=jnp.asarray(points),
+        point_valid=jnp.asarray(pvalid),
+        obs_cam=jnp.asarray(obs_cam),
+        obs_uv=jnp.asarray(obs_uv),
+        obs_sigma2=jnp.asarray(obs_s2),
+        obs_valid=jnp.asarray(obs_valid),
         intr=jnp.asarray(cfg.intr),
     )
-    res = run_ba(prob, iters=iters)
+    meta = dict(cams=cams, cam_slot=cam_slot, pts=pts, okf=okf, valid=valid,
+                fixed=fixed, old_T=store.kf_T[cams].copy(), epoch=store.epoch)
+    return prob, meta
+
+
+def apply_global_ba(store: MapStore, cfg: SlamConfig, res, meta) -> None:
+    """Write GBA results back and PROPAGATE corrections to keyframes and
+    points created while it ran, through the spanning tree — the reference's
+    RunGlobalBundleAdjustment tail (LoopClosing.cc:690-750). Call under the
+    map lock with local mapping stopped."""
+    if store.epoch != meta["epoch"]:
+        return
+    cams, cam_slot, fixed = meta["cams"], meta["cam_slot"], meta["fixed"]
+    pts, okf = meta["pts"], meta["okf"]
+    in_prob_kf = np.zeros(store.cfg.max_keyframes, bool)
+    in_prob_kf[cams] = True
+    old_pose = {c: meta["old_T"][i] for c, i in cam_slot.items()}
     new_T = np.asarray(res.cam_T)
-    for c, i in cam_slot.items():
-        if not fixed[i]:
-            store.kf_T[c] = new_T[i]
-    store.pt_xyz[pts] = np.asarray(res.points)
-    inl = np.asarray(res.obs_inlier)
-    out_i, out_s = np.nonzero(valid & ~inl)
+
+    # New keyframes (inserted during the solve): correct via the spanning
+    # tree, child pose composed with its parent's correction
+    # (LoopClosing.cc:690-720: Tchildc = Tchild * Twc(parent) * TcwGBA(parent)).
+    # Parents always predate children, so one ascending-id pass suffices.
+    corrected = {c: new_T[i] for c, i in cam_slot.items()}
+    live = np.nonzero(store.kf_valid)[0]
+    for k in live:
+        k = int(k)
+        if in_prob_kf[k]:
+            continue
+        p = int(store.kf_parent[k])
+        if p < 0 or (p not in corrected) or (p not in old_pose):
+            continue
+        T_old_p = old_pose[p]
+        T_rel = store.kf_T[k] @ np.linalg.inv(T_old_p)
+        corrected[k] = (T_rel @ corrected[p]).astype(np.float32)
+        old_pose[k] = store.kf_T[k].copy()
+
+    for k, T in corrected.items():
+        if not (k in cam_slot and fixed[cam_slot[k]]) and store.kf_valid[k]:
+            store.kf_T[k] = T
+
+    # Points in the problem take their optimized positions; points created
+    # during the solve move with their first observing keyframe's correction
+    # (LoopClosing.cc:724-748).
+    alive = store.pt_valid[pts]
+    store.pt_xyz[pts[alive]] = np.asarray(res.points)[: len(pts)][alive]
+    in_prob_pt = np.zeros(store.cfg.max_points, bool)
+    in_prob_pt[pts] = True
+    others = np.nonzero(store.pt_valid & ~in_prob_pt)[0]
+    for p in others:
+        ref = int(store.pt_obs_kf[p, 0])
+        if ref < 0 or ref not in corrected or ref not in old_pose:
+            continue
+        T_old = old_pose[ref]
+        T_new = corrected[ref]
+        xc = T_old[:3, :3] @ store.pt_xyz[p] + T_old[:3, 3]
+        R, t = T_new[:3, :3], T_new[:3, 3]
+        store.pt_xyz[p] = R.T @ (xc - t)
+
+    # Outlier erase for observations that stayed in the problem.
+    inl = np.asarray(res.obs_inlier)[: len(pts)]
+    out_i, out_s = np.nonzero(meta["valid"] & ~inl & alive[:, None])
     store.remove_observations(pts[out_i], okf[out_i, out_s])
-    dead = pts[store.pt_n_obs[pts] < 2]
+    dead = pts[alive & (store.pt_n_obs[pts] < 2)]
     if len(dead):
         store.cull_points(dead)
+
+
+def global_bundle_adjustment(store: MapStore, cfg: SlamConfig, iters: int = 20) -> None:
+    """Synchronous full-map BA (assemble + solve + apply in one call)."""
+    work = assemble_global_ba(store, cfg)
+    if work is None:
+        return
+    prob, meta = work
+    res = jax.device_get(run_ba(prob, iters=iters))
+    apply_global_ba(store, cfg, res, meta)
 
 
 @dataclass
@@ -127,6 +208,76 @@ class LocalMapper:
     # LocalMapping.cc:53,101): False while a keyframe is being processed.
     accept_keyframes: bool = True
     ba_iters: int = 0  # LM iterations executed (for the BA iters/s metric)
+    # Queue-pressure probe (wired to MappingWorker.queue_size in async mode):
+    # the reference runs SearchInNeighbors and local BA ONLY when no further
+    # keyframes wait (LocalMapping.cc:72 CheckNewKeyFrames gates) — under a
+    # burst, each keyframe gets culling + triangulation and the heavy stages
+    # run when the queue drains.
+    pending_fn = None  # callable() -> int | None
+
+    def warmup(self) -> None:
+        """Compile every bucketed device program this mapper can hit (local
+        BA shape buckets, fuse candidate buckets, the triangulation batch).
+        With the persistent XLA cache this is a one-time per-machine cost;
+        without it a bucket first hit mid-run stalls mapping for its full
+        compile time (30 s+) and tracking outruns the stale map."""
+        cfg = self.cfg
+        st = self.store
+        N = cfg.orb.n_features
+        M = st.cfg.max_obs_per_point
+        intr = jnp.asarray(cfg.intr)
+        for P_pad in P_BUCKETS:
+            for C_pad in C_BUCKETS:
+                prob = BAProblem(
+                    cam_T=jnp.tile(jnp.eye(4), (C_pad, 1, 1)),
+                    cam_fixed=jnp.zeros(C_pad, bool).at[0].set(True),
+                    points=jnp.ones((P_pad, 3)).at[:, 2].set(5.0),
+                    point_valid=jnp.ones(P_pad, bool),
+                    obs_cam=jnp.zeros((P_pad, M), jnp.int32),
+                    obs_uv=jnp.full((P_pad, M, 2), 320.0),
+                    obs_sigma2=jnp.ones((P_pad, M)),
+                    obs_valid=jnp.zeros((P_pad, M), bool),
+                    intr=intr,
+                )
+                state = _ba_begin_j(prob)
+                state = _ba_iterate_j(prob, state, n=5)
+                state = _ba_reclassify_j(prob, state)
+                jax.block_until_ready(_ba_result_j(prob, state))
+        K33 = jnp.asarray(
+            np.array([[cfg.intr[0], 0, cfg.intr[2]],
+                      [0, cfg.intr[1], cfg.intr[3]], [0, 0, 1]], np.float32)
+        )
+        NB = cfg.th.triangulation_neighbors
+        jax.block_until_ready(tk.triangulate_with_neighbors_batch(
+            jnp.eye(4), jnp.tile(jnp.eye(4), (NB, 1, 1)),
+            jnp.zeros((N, 2)), jnp.zeros((N, 8), jnp.uint32),
+            jnp.zeros(N), jnp.zeros(N, jnp.int32), jnp.zeros(N, bool),
+            jnp.zeros((NB, N, 2)), jnp.zeros((NB, N, 8), jnp.uint32),
+            jnp.zeros((NB, N)), jnp.zeros((NB, N), jnp.int32),
+            jnp.zeros((NB, N), bool),
+            K33, jnp.asarray(cfg.sigma2_table), jnp.float32(5.0),
+            enable_far=cfg.enable_far_points,
+        ))
+        T_cap = self._T_FUSE
+        for C in self._FUSE_BUCKETS:
+            jax.block_until_ready(tk.fuse_batch(
+                jnp.tile(jnp.eye(4), (T_cap, 1, 1)),
+                jnp.zeros((T_cap, N, 2)), jnp.zeros((T_cap, N)),
+                jnp.zeros((T_cap, N), jnp.int32),
+                jnp.zeros((T_cap, N, 8), jnp.uint32),
+                jnp.zeros((T_cap, N), bool),
+                jnp.zeros((T_cap, C), jnp.int32), jnp.zeros((T_cap, C), bool),
+                jnp.ones((2 * C, 3)), jnp.zeros((2 * C, 8), jnp.uint32),
+                jnp.full(2 * C, 100.0),
+                intr, jnp.float32(cfg.camera.width), jnp.float32(cfg.camera.height),
+                jnp.float32(cfg.orb.scale_factor), n_levels=cfg.orb.n_levels,
+            ))
+
+    def _publish(self) -> None:
+        """Push mutated point state to the device mirror (called under the
+        map lock, so tracker dispatches always see store-consistent HBM)."""
+        if self.publish_points is not None:
+            self.publish_points()
 
     def process(self, kf: int, bootstrap: bool = False) -> None:
         """Full local-mapping pass for a newly inserted keyframe
@@ -134,16 +285,25 @@ class LocalMapper:
         if bootstrap:
             return  # the initial map was just globally optimized
         t = self.timer
-        with t("lm.cull_points"):
+        with t("lm.cull_points"), self.lock:
+            # First covisibility update assigns the spanning-tree parent
+            # (KeyFrame::UpdateConnections, KeyFrame.cc:383-391).
+            self.store.update_spanning_tree(kf)
             self.cull_recent_points(kf)
+            self._publish()
         with t("lm.triangulate"):
             self.create_new_points(kf)
+        if self.pending_fn is not None and self.pending_fn():
+            return  # more keyframes waiting: heavy stages when queue drains
         with t("lm.fuse"):
             self.search_in_neighbors(kf)
+        if self.pending_fn is not None and self.pending_fn():
+            return
         with t("lm.local_ba"):
             self.local_ba(kf)
-        with t("lm.cull_kfs"):
+        with t("lm.cull_kfs"), self.lock:
             self.cull_keyframes(kf)
+            self._publish()
 
     # ------------------------------------------------------------------ #
     def cull_recent_points(self, kf: int) -> None:
@@ -164,28 +324,46 @@ class LocalMapper:
     # ------------------------------------------------------------------ #
     def create_new_points(self, kf: int) -> None:
         """Triangulate new map points against covisible neighbors
-        (LocalMapping::CreateNewMapPoints, LocalMapping.cc:188-367)."""
+        (LocalMapping::CreateNewMapPoints, LocalMapping.cc:188-367).
+
+        Structure: snapshot store inputs under the map lock, run the device
+        program unlocked, write back under the lock."""
         st = self.store
         cfg = self.cfg
-        neighbors = st.covisible_keyframes(
-            kf, top=cfg.th.triangulation_neighbors
-        )
-        if len(neighbors) == 0:
-            return
+        NB = cfg.th.triangulation_neighbors
+        with self.lock:
+            neighbors = st.covisible_keyframes(kf, top=NB)
+            if len(neighbors) == 0:
+                return
+            # Median depth of the new keyframe's own points (baseline gate).
+            own = st.kf_obs_point[kf]
+            own = np.unique(own[own >= 0])
+            if len(own) == 0:
+                return
+            own_z = (st.pt_xyz[own] @ st.kf_T[kf][:3, :3].T + st.kf_T[kf][:3, 3])[:, 2]
+            md = float(np.median(own_z[own_z > 0])) if (own_z > 0).any() else 0.0
+            if md <= 1e-6:
+                return
 
-        bound = st.kf_obs_point[kf] >= 0
-        # Median depth of the new keyframe's own points for the baseline gate.
-        own = st.kf_obs_point[kf]
-        own = np.unique(own[own >= 0])
-        if len(own) == 0:
-            return
-        md = float(
-            tk.compute_median_depth(
-                jnp.asarray(st.kf_T[kf]),
-                jnp.asarray(st.pt_xyz),
-                jnp.asarray(st.pt_valid & np.isin(np.arange(st.cfg.max_points), own)),
+            # Pad the neighbor list to a fixed batch (padding = the keyframe
+            # itself: zero baseline, auto-rejected).
+            nbs = [int(n) for n in neighbors[:NB]]
+            pad = [kf] * (NB - len(nbs))
+            all_nb = np.array(nbs + pad, np.int64)
+            unbound_new = st.kf_feat_valid[kf] & (st.kf_obs_point[kf] < 0)
+            if unbound_new.sum() < 10:
+                return
+            unbound_nb = st.kf_feat_valid[all_nb] & (st.kf_obs_point[all_nb] < 0)
+            epoch0 = st.epoch
+            # Snapshot copies (fancy indexing copies; [kf] rows copied
+            # explicitly) so the dispatch below needs no lock.
+            snap = (
+                st.kf_T[kf].copy(), st.kf_T[all_nb],
+                st.kf_xy[kf].copy(), st.kf_desc[kf].copy(),
+                st.kf_angle[kf].copy(), st.kf_octave[kf].copy(), unbound_new,
+                st.kf_xy[all_nb], st.kf_desc[all_nb],
+                st.kf_angle[all_nb], st.kf_octave[all_nb], unbound_nb,
             )
-        )
 
         K = jnp.asarray(
             np.array(
@@ -198,64 +376,52 @@ class LocalMapper:
             )
         )
         sigma2 = jnp.asarray(cfg.sigma2_table)
-
-        # Pad the neighbor list to a fixed batch (padding = the keyframe
-        # itself: zero baseline, auto-rejected) and triangulate against all
-        # neighbors in one device call.
-        NB = cfg.th.triangulation_neighbors
-        nbs = [int(n) for n in neighbors[:NB]]
-        pad = [kf] * (NB - len(nbs))
-        all_nb = np.array(nbs + pad, np.int64)
-        unbound_new = st.kf_feat_valid[kf] & (st.kf_obs_point[kf] < 0)
-        if unbound_new.sum() < 10:
-            return
-        unbound_nb = st.kf_feat_valid[all_nb] & (st.kf_obs_point[all_nb] < 0)
-
         nb_idx, pts3, accepted, far = tk.triangulate_with_neighbors_batch(
-            jnp.asarray(st.kf_T[kf]), jnp.asarray(st.kf_T[all_nb]),
-            jnp.asarray(st.kf_xy[kf]), jnp.asarray(st.kf_desc[kf]),
-            jnp.asarray(st.kf_angle[kf]), jnp.asarray(st.kf_octave[kf]),
-            jnp.asarray(unbound_new),
-            jnp.asarray(st.kf_xy[all_nb]), jnp.asarray(st.kf_desc[all_nb]),
-            jnp.asarray(st.kf_angle[all_nb]), jnp.asarray(st.kf_octave[all_nb]),
-            jnp.asarray(unbound_nb),
+            *(jnp.asarray(a) for a in snap),
             K, sigma2, jnp.float32(md),
             enable_far=cfg.enable_far_points,
         )
-        acc = np.asarray(accepted)  # [NB, N]
-        far_np = np.asarray(far)
-        nb_idx_np = np.asarray(nb_idx)
-        pts_np = np.asarray(pts3)
-        taken = np.zeros(acc.shape[1], bool)  # features already triangulated
-        new_ids = []
-        for j, nb in enumerate(nbs):
-            feats = np.nonzero(acc[j] & ~taken)[0]
-            if len(feats) == 0:
-                continue
-            free = int((~st.pt_valid).sum())
-            feats = feats[: max(0, free)]
-            if len(feats) == 0:
-                break
-            taken[feats] = True
-            ids = st.alloc_points(len(feats))
-            st.pt_xyz[ids] = pts_np[j, feats]
-            st.pt_first_kf[ids] = kf
-            st.pt_desc[ids] = st.kf_desc[kf, feats]
-            st.pt_far[ids] = far_np[j, feats]
-            n_new = len(ids)
-            st.add_observations(
-                np.concatenate([ids, ids]),
-                np.concatenate([np.full(n_new, kf), np.full(n_new, nb)]),
-                np.concatenate([feats, nb_idx_np[j, feats]]),
-            )
-            new_ids.append(ids)
-        if new_ids:
-            st.update_point_derived(
-                np.concatenate(new_ids), cfg.orb.scale_factor, cfg.orb.n_levels
-            )
+        # One batched readback (separate d2h transfers cost ~9 ms each).
+        nb_idx_np, pts_np, acc, far_np = jax.device_get((nb_idx, pts3, accepted, far))
+
+        with self.lock:
+            if st.epoch != epoch0:
+                return  # store was reset while the device ran
+            # Features bound since the snapshot (the tracker may have created
+            # a keyframe meanwhile) must not be re-triangulated.
+            acc = acc & (st.kf_obs_point[kf] < 0)[None, :]
+            taken = np.zeros(acc.shape[1], bool)  # features already triangulated
+            new_ids = []
+            for j, nb in enumerate(nbs):
+                feats = np.nonzero(acc[j] & ~taken)[0]
+                if len(feats) == 0:
+                    continue
+                free = int((~st.pt_valid).sum())
+                feats = feats[: max(0, free)]
+                if len(feats) == 0:
+                    break
+                taken[feats] = True
+                ids = st.alloc_points(len(feats))
+                st.pt_xyz[ids] = pts_np[j, feats]
+                st.pt_first_kf[ids] = kf
+                st.pt_desc[ids] = st.kf_desc[kf, feats]
+                st.pt_far[ids] = far_np[j, feats]
+                n_new = len(ids)
+                st.add_observations(
+                    np.concatenate([ids, ids]),
+                    np.concatenate([np.full(n_new, kf), np.full(n_new, nb)]),
+                    np.concatenate([feats, nb_idx_np[j, feats]]),
+                )
+                new_ids.append(ids)
+            if new_ids:
+                st.update_point_derived(
+                    np.concatenate(new_ids), cfg.orb.scale_factor, cfg.orb.n_levels
+                )
+                self._publish()
 
     # ------------------------------------------------------------------ #
-    _P_FUSE = 4096  # candidate capacity per fusion target
+    _P_FUSE = 4096  # max candidate capacity per fusion target
+    _FUSE_BUCKETS = (1024, 4096)  # padded candidate-capacity buckets
     _T_FUSE = 46  # padded target capacity: 20 first-ring + 5x5 second-ring + self
 
     def search_in_neighbors(self, kf: int) -> None:
@@ -266,94 +432,109 @@ class LocalMapper:
         keyframe's points, plus this keyframe receiving every neighbor's
         points — are matched in ONE padded device call (tk.fuse_batch); only
         the merge/Replace bookkeeping runs on host, in the reference's
-        sequential order."""
+        sequential order. Snapshot under the map lock, device unlocked,
+        apply under the lock."""
         st = self.store
         cfg = self.cfg
-        first = [int(k) for k in st.covisible_keyframes(kf, top=20)]
-        targets = list(first)
-        seen = set(first) | {kf}
-        for t in first[:5]:
-            for t2 in st.covisible_keyframes(t, top=5):
-                t2 = int(t2)
-                if t2 not in seen:
-                    targets.append(t2)
-                    seen.add(t2)
-        own = st.kf_obs_point[kf]
-        own = np.unique(own[own >= 0])
-        own = own[st.pt_valid[own]][: self._P_FUSE]
-        fuse = st.kf_obs_point[targets] if targets else np.empty((0, 0), np.int32)
-        fuse = np.unique(fuse[fuse >= 0]) if fuse.size else np.empty(0, np.int64)
-        fuse = (fuse[st.pt_valid[fuse]] if fuse.size else fuse)[: self._P_FUSE]
-        if len(own) == 0 and len(fuse) == 0:
-            return
+        with self.lock:
+            first = [int(k) for k in st.covisible_keyframes(kf, top=20)]
+            targets = list(first)
+            seen = set(first) | {kf}
+            for t in first[:5]:
+                for t2 in st.covisible_keyframes(t, top=5):
+                    t2 = int(t2)
+                    if t2 not in seen:
+                        targets.append(t2)
+                        seen.add(t2)
+            own = st.kf_obs_point[kf]
+            own = np.unique(own[own >= 0])
+            own = own[st.pt_valid[own]][: self._P_FUSE]
+            fuse = st.kf_obs_point[targets] if targets else np.empty((0, 0), np.int32)
+            fuse = np.unique(fuse[fuse >= 0]) if fuse.size else np.empty(0, np.int64)
+            fuse = (fuse[st.pt_valid[fuse]] if fuse.size else fuse)[: self._P_FUSE]
+            if len(own) == 0 and len(fuse) == 0:
+                return
 
-        # Shared point slice: union of both candidate sets, uploaded once.
-        # Padded to a FIXED capacity — a varying slice length would recompile
-        # fuse_batch on every keyframe.
-        sl = np.union1d(own, fuse).astype(np.int64)[: 2 * self._P_FUSE]
-        pos = np.zeros(st.cfg.max_points, np.int32)
-        pos[sl] = np.arange(len(sl), dtype=np.int32)
-        n_sl = len(sl)
-        sl = np.concatenate([sl, np.zeros(2 * self._P_FUSE - n_sl, np.int64)])
+            # Smallest candidate-capacity bucket covering both sets (compile
+            # once per bucket; typical local maps fit the first bucket).
+            C = next(b for b in self._FUSE_BUCKETS
+                     if b >= max(len(own), len(fuse), 1))
+            # Shared point slice: union of both candidate sets, uploaded once.
+            # Padded to the bucket capacity — a varying slice length would
+            # recompile fuse_batch on every keyframe.
+            sl = np.union1d(own, fuse).astype(np.int64)[: 2 * C]
+            pos = np.zeros(st.cfg.max_points, np.int32)
+            pos[sl] = np.arange(len(sl), dtype=np.int32)
+            n_sl = len(sl)
+            sl = np.concatenate([sl, np.zeros(2 * C - n_sl, np.int64)])
 
-        T_cap, C = self._T_FUSE, self._P_FUSE
-        rows = (targets + [kf])[:T_cap]
-        n_rows = len(rows)
-        row_kfs = np.zeros(T_cap, np.int64)
-        row_kfs[:n_rows] = rows
-        cand_idx = np.zeros((T_cap, C), np.int32)
-        cand_valid = np.zeros((T_cap, C), bool)
-        for r, t in enumerate(rows):
-            ids = own if t != kf else fuse
-            m = len(ids)
-            if m == 0:
-                continue
-            cand_idx[r, :m] = pos[ids]
-            # Exclude points already observed in this target.
-            cand_valid[r, :m] = ~(st.pt_obs_kf[ids] == t).any(1)
+            T_cap = self._T_FUSE
+            rows = (targets + [kf])[:T_cap]
+            n_rows = len(rows)
+            row_kfs = np.zeros(T_cap, np.int64)
+            row_kfs[:n_rows] = rows
+            cand_idx = np.zeros((T_cap, C), np.int32)
+            cand_valid = np.zeros((T_cap, C), bool)
+            for r, t in enumerate(rows):
+                ids = own if t != kf else fuse
+                m = len(ids)
+                if m == 0:
+                    continue
+                cand_idx[r, :m] = pos[ids]
+                # Exclude points already observed in this target.
+                cand_valid[r, :m] = ~(st.pt_obs_kf[ids] == t).any(1)
+            epoch0 = st.epoch
+            snap = (
+                st.kf_T[row_kfs], st.kf_xy[row_kfs], st.kf_angle[row_kfs],
+                st.kf_octave[row_kfs], st.kf_desc[row_kfs],
+                st.kf_feat_valid[row_kfs] & (np.arange(T_cap) < n_rows)[:, None],
+                cand_idx, cand_valid,
+                st.pt_xyz[sl], st.pt_desc[sl],
+                np.nan_to_num(st.pt_max_dist[sl], posinf=1e9),
+            )
 
-        ok, idx = tk.fuse_batch(
-            jnp.asarray(st.kf_T[row_kfs]),
-            jnp.asarray(st.kf_xy[row_kfs]),
-            jnp.asarray(st.kf_angle[row_kfs]),
-            jnp.asarray(st.kf_octave[row_kfs]),
-            jnp.asarray(st.kf_desc[row_kfs]),
-            jnp.asarray(st.kf_feat_valid[row_kfs] & (np.arange(T_cap) < n_rows)[:, None]),
-            jnp.asarray(cand_idx), jnp.asarray(cand_valid),
-            jnp.asarray(st.pt_xyz[sl]),
-            jnp.asarray(st.pt_desc[sl]),
-            jnp.asarray(np.nan_to_num(st.pt_max_dist[sl], posinf=1e9)),
+        code = tk.fuse_batch(
+            *(jnp.asarray(a) for a in snap),
             jnp.asarray(cfg.intr),
             jnp.float32(cfg.camera.width), jnp.float32(cfg.camera.height),
             jnp.float32(cfg.orb.scale_factor), n_levels=cfg.orb.n_levels,
         )
-        ok = np.asarray(ok)
-        idx = np.asarray(idx)
-        for r, t in enumerate(rows):
-            ids = own if t != kf else fuse
-            self._apply_fuse(t, ids, ok[r, : len(ids)], idx[r, : len(ids)])
+        code = np.asarray(code)  # [T, FUSE_TOP] packed; blocks outside the lock
 
-        touched = np.unique(np.concatenate([own, fuse])) if len(own) + len(fuse) else []
-        if len(touched):
-            touched = touched[st.pt_valid[touched]]
-            st.update_point_derived(touched, self.cfg.orb.scale_factor,
-                                    self.cfg.orb.n_levels)
+        with self.lock:
+            if st.epoch != epoch0:
+                return
+            for r, t in enumerate(rows):
+                ids = own if t != kf else fuse
+                c = code[r]
+                c = c[c >= 0]
+                slots = c >> 12
+                feats_m = c & 0xFFF
+                keep = slots < len(ids)
+                self._apply_fuse(t, ids, slots[keep], feats_m[keep])
+            touched = np.unique(np.concatenate([own, fuse])) if len(own) + len(fuse) else []
+            if len(touched):
+                touched = touched[st.pt_valid[touched]]
+                st.update_point_derived(touched, self.cfg.orb.scale_factor,
+                                        self.cfg.orb.n_levels)
+            self._publish()
 
-    def _apply_fuse(self, target: int, ids: np.ndarray, ok: np.ndarray,
-                    idx: np.ndarray) -> None:
+    def _apply_fuse(self, target: int, ids: np.ndarray, slots: np.ndarray,
+                    feats: np.ndarray) -> None:
         """Merge matched duplicates into `target` (ORBmatcher::Fuse apply
         phase + MapPoint::Replace semantics, MapPoint.cc:132-175).
+        slots index into ids (candidate point list); feats are the matched
+        target feature indices.
 
         The common case — the matched feature slot is unbound, so the fuse is
         just a new observation — is applied as ONE batched bind; only true
         duplicates (slot already bound to a live point) walk the
         keep-better-observed Replace path."""
         st = self.store
-        slots = np.nonzero(ok)[0]
         if len(slots) == 0:
             return
         p_all = ids[slots]
-        f_all = idx[slots]
+        f_all = feats
         live = st.pt_valid[p_all]
         p_all, f_all = p_all[live], f_all[live]
         existing = st.kf_obs_point[target, f_all]
@@ -408,7 +589,37 @@ class LocalMapper:
         """Assemble and solve the local BA problem
         (Optimizer::LocalBundleAdjustment, Optimizer.cc:340-589): covisible
         keyframes free, boundary observers fixed, 5+10 LM schedule, outlier
-        observations erased afterwards."""
+        observations erased afterwards.
+
+        Assembly snapshot + result writeback run under the map lock; the LM
+        chunks run unlocked so tracking proceeds while BA solves (the exact
+        g2o pattern: optimize outside the mutex, apply under it,
+        Optimizer.cc:516)."""
+        with self.lock:
+            work = self._local_ba_assemble(kf)
+        if work is None:
+            return
+        prob, meta = work
+        # 5+10 LM schedule (Optimizer.cc:466-510) in host-checked chunks:
+        # the second phase yields to the abort flag between 5-iter chunks
+        # (reference mbAbortBA preemption, Optimizer.cc:500-505 checks
+        # pbStopFlag between phases; g2o checks per iteration).
+        state = _ba_begin_j(prob)
+        state = _ba_iterate_j(prob, state, n=5)
+        state = _ba_reclassify_j(prob, state)
+        self.ba_iters += 5
+        for _ in range(2):
+            if self.abort_ba:
+                break
+            state = jax.block_until_ready(_ba_iterate_j(prob, state, n=5))
+            self.ba_iters += 5
+        res = _ba_result_j(prob, state)
+        res = jax.device_get(res)  # blocks outside the lock
+        with self.lock:
+            self._local_ba_apply(res, meta)
+            self._publish()
+
+    def _local_ba_assemble(self, kf: int):
         st = self.store
         cfg = self.cfg
         local = [kf] + [
@@ -420,7 +631,7 @@ class LocalMapper:
         # excludes them from optimization (Optimizer.cc:243).
         pts = pts[st.pt_valid[pts] & ~st.pt_far[pts]][:P_BUCKETS[-1]]
         if len(pts) < 20:
-            return
+            return None
 
         # All observers of the local points.
         obs_kf_all = st.pt_obs_kf[pts]
@@ -486,32 +697,28 @@ class LocalMapper:
             obs_valid=jnp.asarray(obs_valid),
             intr=jnp.asarray(cfg.intr),
         )
-        # 5+10 LM schedule (Optimizer.cc:466-510) in host-checked chunks:
-        # the second phase yields to the abort flag between 5-iter chunks
-        # (reference mbAbortBA preemption, Optimizer.cc:500-505 checks
-        # pbStopFlag between phases; g2o checks per iteration).
-        state = _ba_begin_j(prob)
-        state = _ba_iterate_j(prob, state, n=5)
-        state = _ba_reclassify_j(prob, state)
-        self.ba_iters += 5
-        for _ in range(2):
-            if self.abort_ba:
-                break
-            state = jax.block_until_ready(_ba_iterate_j(prob, state, n=5))
-            self.ba_iters += 5
-        res = _ba_result_j(prob, state)
+        meta = dict(pts=pts, okf=okf, cam_slot=cam_slot, fixed=fixed,
+                    obs_valid=obs_valid, P=P, epoch=st.epoch)
+        return prob, meta
 
+    def _local_ba_apply(self, res, meta) -> None:
+        st = self.store
+        if st.epoch != meta["epoch"]:
+            return  # store was reset while the solve ran
+        pts, okf, P = meta["pts"], meta["okf"], meta["P"]
+        fixed, obs_valid = meta["fixed"], meta["obs_valid"]
         new_T = np.asarray(res.cam_T)
-        for c, i in cam_slot.items():
+        for c, i in meta["cam_slot"].items():
             if not fixed[i]:
                 st.kf_T[c] = new_T[i]
-        st.pt_xyz[pts] = np.asarray(res.points)[:P]
+        alive = st.pt_valid[pts]  # a point may have been fused/culled meanwhile
+        st.pt_xyz[pts[alive]] = np.asarray(res.points)[:P][alive]
 
         # Erase outlier observations (Optimizer.cc:520-556), batched.
         inl = np.asarray(res.obs_inlier)[:P]
-        out_i, out_s = np.nonzero(obs_valid[:P] & ~inl)
+        out_i, out_s = np.nonzero(obs_valid[:P] & ~inl & alive[:, None])
         st.remove_observations(pts[out_i], okf[out_i, out_s])
         # Cull points left with < 2 observations.
-        dead = pts[st.pt_n_obs[pts] < 2]
+        dead = pts[alive & (st.pt_n_obs[pts] < 2)]
         if len(dead):
             st.cull_points(dead)

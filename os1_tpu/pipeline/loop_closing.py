@@ -26,6 +26,8 @@ MIN_MATCHES_SIM3 = 20  # LoopClosing.cc:269
 MIN_INLIERS_SIM3 = 20  # LoopClosing.cc:297 / Optimizer nInliers >= 20
 MIN_TOTAL_MATCHES = 40  # LoopClosing.cc:387
 CONSISTENCY_TH = 3  # LoopClosing.cc:53 mnCovisibilityConsistencyTh
+SIM3_CAP = 512  # padded match capacity (variable shapes would recompile)
+PROJ_CAP = 4096  # padded loop-region point capacity for guided projection
 
 
 @jax.jit
@@ -43,29 +45,123 @@ class LoopCloser:
     cfg: SlamConfig
     store: MapStore
     db: KeyFrameDatabase
-    run_global_ba: bool = False  # synchronous global BA after correction
+    run_global_ba: bool = True  # global BA after every corrected loop
     last_loop_kf: int = -100
     consistent_groups: list = field(default_factory=list)  # [(set, count)]
     loop_edges: list = field(default_factory=list)  # [(kf_a, kf_b)]
     n_loops_closed: int = 0
+    # Async wiring (None in the synchronous pipeline): the map lock shared
+    # with tracker/mapper, and the MappingWorker to stop during correction
+    # (the reference's LocalMapping::RequestStop barrier before CorrectLoop,
+    # LoopClosing.cc:413-431).
+    lock: object = None  # threading.RLock | None
+    mapping_worker: object = None
+    on_map_updated: object = None  # callback() after async GBA writeback
 
     def __post_init__(self):
         self._key = jax.random.PRNGKey(7)
         self._intr = jnp.asarray(self.cfg.intr)
+        self._gba_thread = None  # transient GBA thread (LoopClosing.cc:584)
+        self._stop_gba = False  # mbStopGBA (LoopClosing.cc:416-425)
+        if self.lock is None:
+            import contextlib
+
+            self.lock = contextlib.nullcontext()
 
     # ------------------------------------------------------------------ #
     def process(self, kf: int, kf_count: int) -> bool:
         """Full loop-closing attempt for a new keyframe. Returns True if a
         loop was closed."""
-        candidates = self.detect(kf, kf_count)
-        for cand in candidates:
-            ok, S_cl, matched_pts = self.compute_sim3(kf, int(cand))
-            if ok:
-                self.correct(kf, int(cand), S_cl, matched_pts)
-                self.last_loop_kf = kf_count
-                self.n_loops_closed += 1
-                return True
-        return False
+        with self.lock:
+            if not self.store.kf_valid[kf]:
+                return False  # culled before the loop thread got to it
+            candidates = self.detect(kf, kf_count)
+            hits = []
+            for cand in candidates:
+                ok, S_cl, matched_pts = self.compute_sim3(kf, int(cand))
+                if ok:
+                    hits.append((int(cand), S_cl, matched_pts))
+                    break
+        if not hits:
+            return False
+        cand, S_cl, matched_pts = hits[0]
+        # A running global BA belongs to a previous (now superseded) loop:
+        # abort and join it before correcting (LoopClosing.cc:416-425).
+        self._abort_running_gba()
+        # Quiesce local mapping before mutating the whole map — without this
+        # barrier a mapper stage dispatched on pre-loop poses would write
+        # back over the corrected ones (LoopClosing.cc:413-431 semantics).
+        if self.mapping_worker is not None:
+            self.mapping_worker.request_stop()
+            self.mapping_worker.wait_stopped(timeout=60.0)
+        try:
+            with self.lock:
+                if self.store.kf_valid[kf] and self.store.kf_valid[cand]:
+                    self.correct(kf, cand, S_cl, matched_pts)
+                    self.last_loop_kf = kf_count
+                    self.n_loops_closed += 1
+        finally:
+            if self.mapping_worker is not None:
+                self.mapping_worker.release()
+        if self.run_global_ba:
+            self._spawn_gba()
+        return True
+
+    # ------------------------------------------------------------------ #
+    # Global bundle adjustment (RunGlobalBundleAdjustment, LoopClosing.cc:
+    # 653-752): runs in a detached thread after every corrected loop,
+    # abortable by the next loop, with correction propagation to keyframes
+    # and points created while it solved.
+    # ------------------------------------------------------------------ #
+    def _abort_running_gba(self):
+        t = self._gba_thread
+        if t is not None and t.is_alive():
+            self._stop_gba = True
+            t.join(timeout=120.0)
+        self._gba_thread = None
+
+    def _spawn_gba(self):
+        import threading
+
+        self._stop_gba = False
+        if self.mapping_worker is None:
+            self._run_gba()  # synchronous pipeline: deterministic inline GBA
+            return
+        self._gba_thread = threading.Thread(
+            target=self._run_gba, daemon=True, name="GlobalBA"
+        )
+        self._gba_thread.start()
+
+    def _run_gba(self, iters: int = 20, chunk: int = 5):
+        from ..optim import ba_begin, ba_iterate, ba_result
+        from .local_mapping import apply_global_ba, assemble_global_ba
+
+        with self.lock:
+            work = assemble_global_ba(self.store, self.cfg)
+        if work is None:
+            return
+        prob, meta = work
+        state = jax.jit(ba_begin)(prob)
+        it = jax.jit(ba_iterate, static_argnames=("n",))
+        for _ in range(max(1, iters // chunk)):
+            if self._stop_gba:
+                return  # aborted by a newer loop: discard (LoopClosing.cc:672)
+            state = jax.block_until_ready(it(prob, state, n=chunk))
+        res = jax.device_get(jax.jit(ba_result)(prob, state))
+        if self._stop_gba:
+            return
+        # Stop local mapping while corrections propagate (LoopClosing.cc:686).
+        if self.mapping_worker is not None:
+            self.mapping_worker.request_stop()
+            self.mapping_worker.wait_stopped(timeout=60.0)
+        try:
+            with self.lock:
+                apply_global_ba(self.store, self.cfg, res, meta)
+            if self.on_map_updated is not None:
+                self.on_map_updated()
+        finally:
+            if self.mapping_worker is not None:
+                self.mapping_worker.release()
 
     # ------------------------------------------------------------------ #
     def detect(self, kf: int, kf_count: int) -> np.ndarray:
@@ -78,14 +174,19 @@ class LoopCloser:
         if len(neighbors) == 0:
             return np.empty(0, np.int64)
 
-        bow_kf = self.db.bow[kf]
-        # Host numpy L1 scores: tiny arithmetic, not worth a device round trip.
-        nb = self.db.bow[neighbors]
-        scores = 1.0 - 0.5 * np.abs(nb - bow_kf[None, :]).sum(-1)
-        min_score = float(scores.min()) if len(scores) else 0.0
+        bow_kf = self.db.bows[kf]
+        if bow_kf is None:
+            return np.empty(0, np.int64)
+        # Minimum acceptable score: the worst covisible-neighbor similarity
+        # (LoopClosing.cc:125-139).
+        scores = [self.db.score_kf(bow_kf, int(n)) for n in neighbors]
+        min_score = float(min(scores)) if scores else 0.0
 
         exclude = np.concatenate([[kf], neighbors])
-        cands, cscores = self.db.query(bow_kf, exclude=exclude, min_score=min_score)
+        cands = self.db.detect_loop_candidates(
+            bow_kf, exclude=exclude, min_score=min_score,
+            covis_fn=lambda k: st.covisible_keyframes(k, top=10),
+        )
         if len(cands) == 0:
             self.consistent_groups = []
             return np.empty(0, np.int64)
@@ -129,26 +230,36 @@ class LoopCloser:
         if ok_np.sum() < MIN_MATCHES_SIM3:
             return False, None, None
         idx_np = np.asarray(res.idx)
-        f1 = np.nonzero(ok_np)[0]
+        f1 = np.nonzero(ok_np)[0][:SIM3_CAP]
         f2 = idx_np[f1]
         p1 = obs1[f1]
         p2 = obs2[f2]
 
-        # Camera-frame coordinates of the matched points in both frames.
+        # Camera-frame coordinates of the matched points in both frames,
+        # padded to a FIXED capacity (variable lengths would recompile the
+        # Sim3 solvers on every candidate).
+        n = len(f1)
+        pad = SIM3_CAP - n
         T1 = st.kf_T[kf]
         T2 = st.kf_T[cand]
-        x1 = st.pt_xyz[p1] @ T1[:3, :3].T + T1[:3, 3]
-        x2 = st.pt_xyz[p2] @ T2[:3, :3].T + T2[:3, 3]
-        uv1 = st.kf_xy[kf, f1]
-        uv2 = st.kf_xy[cand, f2]
-        s2_1 = self.cfg.sigma2_table[st.kf_octave[kf, f1]]
-        s2_2 = self.cfg.sigma2_table[st.kf_octave[cand, f2]]
+        x1 = np.zeros((SIM3_CAP, 3), np.float32)
+        x2 = np.zeros((SIM3_CAP, 3), np.float32)
+        x1[:n] = st.pt_xyz[p1] @ T1[:3, :3].T + T1[:3, 3]
+        x2[:n] = st.pt_xyz[p2] @ T2[:3, :3].T + T2[:3, 3]
+        uv1 = np.zeros((SIM3_CAP, 2), np.float32)
+        uv2 = np.zeros((SIM3_CAP, 2), np.float32)
+        uv1[:n] = st.kf_xy[kf, f1]
+        uv2[:n] = st.kf_xy[cand, f2]
+        s2_1 = np.ones(SIM3_CAP, np.float32)
+        s2_2 = np.ones(SIM3_CAP, np.float32)
+        s2_1[:n] = self.cfg.sigma2_table[st.kf_octave[kf, f1]]
+        s2_2[:n] = self.cfg.sigma2_table[st.kf_octave[cand, f2]]
+        mask = np.arange(SIM3_CAP) < n
 
-        n = len(f1)
         self._key, sub = jax.random.split(self._key)
         ransac = solve_sim3(
-            jnp.asarray(x1.astype(np.float32)), jnp.asarray(x2.astype(np.float32)),
-            jnp.ones(n, bool),
+            jnp.asarray(x1), jnp.asarray(x2),
+            jnp.asarray(mask),
             jnp.asarray(uv1), jnp.asarray(uv2),
             jnp.asarray(s2_1), jnp.asarray(s2_2),
             self._intr, sub, min_inliers=MIN_INLIERS_SIM3,
@@ -158,8 +269,8 @@ class LoopCloser:
 
         opt = optimize_sim3(
             ransac.S12,
-            jnp.asarray(x1.astype(np.float32)), jnp.asarray(x2.astype(np.float32)),
-            ransac.inliers,
+            jnp.asarray(x1), jnp.asarray(x2),
+            ransac.inliers & jnp.asarray(mask),
             jnp.asarray(uv1), jnp.asarray(uv2),
             jnp.asarray(s2_1), jnp.asarray(s2_2),
             self._intr,
@@ -167,7 +278,7 @@ class LoopCloser:
         if int(opt.n_inliers) < MIN_INLIERS_SIM3:
             return False, None, None
 
-        inl = np.asarray(opt.inliers)
+        inl = np.asarray(opt.inliers)[:n]
         # Guided projection acceptance: project loop-region points into the
         # current KF through the corrected pose and count total agreement
         # (LoopClosing.cc:341-389 SearchByProjection >= 40).
@@ -185,13 +296,15 @@ class LoopCloser:
         region = [cand] + [int(k) for k in st.covisible_keyframes(cand, top=10)]
         pts = st.kf_obs_point[region]
         pts = np.unique(pts[pts >= 0])
-        pts = pts[st.pt_valid[pts]]
+        pts = pts[st.pt_valid[pts]][:PROJ_CAP]
         if len(pts) == 0:
             return 0
+        n_real = len(pts)
+        pts = np.concatenate([pts, np.zeros(PROJ_CAP - n_real, np.int64)])
         T_lw = st.kf_T[cand]
         S_cw = S_cl @ T_lw  # corrected world -> current-camera (Sim3)
         pc = st.pt_xyz[pts] @ S_cw[:3, :3].T + S_cw[:3, 3]
-        ok_depth = pc[:, 2] > 0.05
+        ok_depth = (pc[:, 2] > 0.05) & (np.arange(PROJ_CAP) < n_real)
         fx, fy, cx, cy = self.cfg.intr
         z = np.where(np.abs(pc[:, 2]) < 1e-8, 1e-8, pc[:, 2])
         uv = np.stack([fx * pc[:, 0] / z + cx, fy * pc[:, 1] / z + cy], 1)
@@ -291,14 +404,12 @@ class LoopCloser:
             S_nodes[i] = corr_S[i]
 
         edges = set()
-        # Spanning tree: parent = strongest covisible among older keyframes.
+        # Spanning tree: the maintained parent links (KeyFrame::GetParent,
+        # the reference's essential-graph backbone, Optimizer.cc:655-670).
         for i in live:
-            w = st.covisibility_weights(int(i))
-            older = np.nonzero(w > 0)[0]
-            older = older[older < i]
-            if len(older):
-                parent = int(older[np.argmax(w[older])])
-                edges.add((parent, int(i)))
+            p = int(st.kf_parent[int(i)])
+            if p >= 0 and st.kf_valid[p]:
+                edges.add((p, int(i)))
         # Strong covisibility edges (minFeat = 100, Optimizer.cc:617).
         for i in live:
             w = st.covisibility_weights(int(i))
@@ -372,10 +483,6 @@ class LoopCloser:
             self.cfg.orb.scale_factor, self.cfg.orb.n_levels,
         )
 
-        # Global BA after the graph (the reference spawns it in a detached
-        # thread, LoopClosing::RunGlobalBundleAdjustment, LoopClosing.cc:653;
-        # synchronous here, optional).
-        if self.run_global_ba:
-            from .local_mapping import global_bundle_adjustment
-
-            global_bundle_adjustment(st, self.cfg)
+        # Global BA runs AFTER correct() returns: detached + abortable in the
+        # async pipeline, inline in the synchronous one (see _spawn_gba /
+        # reference LoopClosing.cc:584).

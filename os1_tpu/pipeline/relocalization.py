@@ -49,7 +49,11 @@ class Relocalizer:
         desc = np.asarray(frame.feats.desc)
         valid = np.asarray(frame.feats.valid)
         _, _, bow = self.db.compute_bow(desc, valid)
-        cands, scores = self.db.query(bow)
+        # Reference protocol: candidates accumulated over covisibility groups
+        # (DetectRelocalizationCandidates, KeyFrameDatabase.cc:199-336).
+        cands = self.db.detect_reloc_candidates(
+            bow, covis_fn=lambda k: st.covisible_keyframes(k, top=10)
+        )
         for kf in cands[: self.max_candidates]:
             kf = int(kf)
             obs_pt = st.kf_obs_point[kf]
@@ -81,9 +85,69 @@ class Relocalizer:
                 pnp.Tcw, jnp.asarray(pts), frame.xy_un, frame.sigma2,
                 pnp.inliers, self._intr,
             )
-            if int(opt.n_inliers) < 10:
+            n_good = int(opt.n_inliers)
+            if n_good < 10:
                 continue
             inlier = np.asarray(opt.inlier)
+            Tcw = np.asarray(opt.Tcw)
             bind = np.where(inlier, pt_ids, -1)
-            return True, np.asarray(opt.Tcw), bind
+            # Escalation (Tracking.cc:1079-1108): below 50 inliers, run up to
+            # two guided SearchByProjection + re-optimize rounds over the
+            # candidate's covisibility region — first a wide window, then a
+            # narrow one around the refined pose.
+            if n_good < 50:
+                region_pts = self._region_points(kf)
+                for radius in (10.0, 3.0):
+                    if n_good >= 50 or len(region_pts) == 0:
+                        break
+                    Tcw, bind, n_good = self._guided_round(
+                        frame, Tcw, bind, region_pts, radius
+                    )
+            if n_good < 50:
+                continue
+            return True, Tcw, bind
         return False, None, None
+
+    def _region_points(self, kf: int) -> np.ndarray:
+        """Map points of the candidate keyframe's covisibility region."""
+        st = self.store
+        region = [kf] + [int(k) for k in st.covisible_keyframes(kf, top=10)]
+        pts = st.kf_obs_point[region]
+        pts = np.unique(pts[pts >= 0])
+        return pts[st.pt_valid[pts]]
+
+    def _guided_round(self, frame, Tcw, bind, region_pts, radius):
+        """One guided projection-matching + pose-optimization round."""
+        from . import tracking_kernels as tk
+
+        st = self.store
+        P = self.cfg.th.max_local_points
+        ids = np.zeros(P, np.int64)
+        valid = np.zeros(P, bool)
+        m = min(len(region_pts), P)
+        ids[:m] = region_pts[:m]
+        valid[:m] = ~np.isin(ids[:m], bind[bind >= 0])
+        prev_bound = bind >= 0
+        prev_xyz = st.pt_xyz[np.clip(bind, 0, None)].astype(np.float32)
+        T, lbind, inl, n, _ = tk.track_points(
+            jnp.asarray(Tcw.astype(np.float32)),
+            jnp.asarray(st.pt_xyz[ids].astype(np.float32)),
+            jnp.asarray(st.pt_desc[ids]),
+            jnp.asarray(valid & st.pt_valid[ids]),
+            jnp.zeros(P, jnp.int32),
+            jnp.asarray(st.pt_normal[ids]),
+            jnp.asarray(st.pt_min_dist[ids]),
+            jnp.asarray(np.nan_to_num(st.pt_max_dist[ids], posinf=1e9)),
+            jnp.asarray(prev_bound),
+            jnp.asarray(prev_xyz), jnp.asarray(prev_bound),
+            frame, self.cfg.camera, self._intr, jnp.float32(radius),
+            scale_factor=self.cfg.orb.scale_factor,
+            n_levels=self.cfg.orb.n_levels,
+            use_frustum=True, ratio=0.9,
+        )
+        lbind, inl, n, T = jax.device_get((lbind, inl, n, T))
+        new_bind = np.where(
+            lbind >= 0, ids[np.clip(lbind, 0, None)],
+            np.where(prev_bound & inl, bind, -1),
+        )
+        return np.asarray(T), new_bind, int(n)

@@ -25,20 +25,33 @@ class System:
     enable_mapping: bool = True  # False = localization-only mode
     enable_loop_closing: bool = True
     pipelined: bool = False  # 1-frame-lag tracking pipeline (see tracking.py)
+    # Asynchronous keyframe pipeline: local mapping + loop closing run on
+    # worker threads against keyframe queues (the reference's thread
+    # topology, System.cc:63-83; see pipeline/workers.py), so tracking never
+    # waits on keyframe-rate work. False = every keyframe event runs inline
+    # (deterministic; what most unit tests use).
+    async_mapping: bool = False
     store: MapStore = None
     vocab = None  # Vocabulary | None (None -> packaged default)
     tracker: Tracker = field(init=False)
     mapper: LocalMapper = field(init=False)
 
     def __post_init__(self):
+        import threading
+
         if self.store is None:
             self.store = MapStore(self.cfg.map)
         # One shared stage timer across all pipeline components: the
         # observability the reference lacked (SURVEY.md §5 tracing row).
         self.timer = StageTimer()
+        # One shared map lock (Map::mMutexMapUpdate, Map.h:140).
+        self.lock = threading.RLock()
         self.tracker = Tracker(cfg=self.cfg, store=self.store)
         self.tracker.timer = self.timer
-        self.mapper = LocalMapper(cfg=self.cfg, store=self.store, timer=self.timer)
+        self.tracker.lock = self.lock
+        self.mapper = LocalMapper(
+            cfg=self.cfg, store=self.store, timer=self.timer, lock=self.lock
+        )
         self.tracker.on_new_keyframe = self._on_new_keyframe
         # Device-resident map mirror: per-frame tracking reads the map from
         # HBM; every map mutation below ends by re-publishing it (the
@@ -46,6 +59,7 @@ class System:
         self.mirror = DeviceMirror(self.store)
         self.tracker.mirror = self.mirror
         self.tracker.pipelined = self.pipelined
+        self.mapper.publish_points = self.mirror.refresh_dynamic
 
         # Place recognition: BoW database over the packaged vocabulary
         # (System.cc:100 loads orbVoc.bin; here the default vocabulary, or a
@@ -62,28 +76,228 @@ class System:
         self.tracker.relocalizer = Relocalizer(
             cfg=self.cfg, store=self.store, db=self.db
         )
-        self.loop_closer = LoopCloser(cfg=self.cfg, store=self.store, db=self.db)
+        self.loop_closer = LoopCloser(
+            cfg=self.cfg, store=self.store, db=self.db, lock=self.lock,
+            on_map_updated=self._publish_after_gba,
+        )
         self.mapper.on_cull_keyframe = self.db.erase
         self.tracker.on_reset = self._on_reset
         self._kf_count = 0
 
+        self.mapping_worker = None
+        self.loop_worker = None
+        if self.async_mapping:
+            from .workers import LoopWorker, MappingWorker
+
+            if self.enable_loop_closing:
+                self.loop_worker = LoopWorker(self._loop_process, self.lock)
+            self.mapping_worker = MappingWorker(
+                self.mapper,
+                self.lock,
+                on_process=self._worker_bow,
+                on_pass_done=self._worker_pass_done,
+                loop_worker=self.loop_worker,
+            )
+            self.loop_closer.mapping_worker = self.mapping_worker
+            self.tracker.mapping_idle = lambda: self.mapping_worker.accepting
+            self.tracker.interrupt_ba = self.mapping_worker.interrupt_ba
+            self.mapper.pending_fn = self.mapping_worker.queue_size
+
     def _on_reset(self):
+        if self.mapping_worker is not None:
+            self.mapping_worker.request_reset()
+        if self.loop_worker is not None:
+            self.loop_worker.request_reset()
         self.db.clear()
+        self._kf_count = 0
         self.mirror.refresh()
 
     def _on_new_keyframe(self, kf: int, bootstrap: bool = False):
-        st = self.store
-        with self.timer("bow.compute"):
-            _, _, bow = self.db.compute_bow(st.kf_desc[kf], st.kf_feat_valid[kf])
-            self.db.add(kf, bow)
         self._kf_count += 1
+        if self.mapping_worker is not None:
+            # Async: publish the new keyframe row to the mirror so the very
+            # next frame can track against it, then queue the heavy work.
+            with self.timer("mirror.refresh"):
+                self.mirror.insert_keyframe_row(kf)
+                self.mirror.refresh_dynamic()
+            if self.enable_mapping:
+                self.mapping_worker.insert_keyframe(kf, bootstrap=bootstrap)
+            else:
+                self._worker_bow(kf)  # keep the reloc database current
+            return
+        self._worker_bow(kf)
         if self.enable_mapping:
             self.mapper.process(kf, bootstrap=bootstrap)
             if self.enable_loop_closing and not bootstrap:
                 with self.timer("loop.process"):
                     self.loop_closer.process(kf, self._kf_count)
         with self.timer("mirror.refresh"):
-            self.mirror.refresh()
+            self.mirror.insert_keyframe_row(kf)
+            self.mirror.refresh_dynamic()
+
+    def _worker_bow(self, kf: int):
+        st = self.store
+        with self.timer("bow.compute"):
+            with self.lock:
+                if not st.kf_valid[kf]:
+                    return
+                desc = st.kf_desc[kf].copy()
+                valid = st.kf_feat_valid[kf].copy()
+            _, _, bow = self.db.compute_bow(desc, valid)  # device, unlocked
+            with self.lock:
+                if st.kf_valid[kf]:
+                    self.db.add(kf, bow)
+
+    def _worker_pass_done(self, kf: int):
+        with self.timer("mirror.refresh"), self.lock:
+            self.mirror.refresh_dynamic()
+
+    def _publish_after_gba(self):
+        with self.lock:
+            self.mirror.refresh_dynamic()
+
+    def _loop_process(self, kf: int):
+        if not self.enable_mapping:
+            return
+        with self.timer("loop.process"):
+            closed = self.loop_closer.process(kf, self._kf_count)
+        if closed:
+            with self.lock:
+                self.mirror.refresh()
+
+    # ------------------------------------------------------------------ #
+    def warmup(self, include_loop: bool = True) -> float:
+        """Compile every device program the pipeline can hit, up front.
+
+        Cold XLA compiles cost 5-40 s EACH on the tunneled TPU; any program
+        first hit mid-run stalls its pipeline stage for that long (a bucket
+        shape first seen during a keyframe event once stalled mapping ~30 s
+        and tracking outran the stale map). One warmup per machine fills the
+        persistent compilation cache (utils/cache.py); later processes
+        replay it in seconds. Returns elapsed seconds.
+        """
+        import time as _time
+
+        import jax
+        import jax.numpy as jnp
+
+        from . import tracking_fused
+        from . import tracking_kernels as tk
+
+        t0 = _time.time()
+        cfg = self.cfg
+        cam = cfg.camera
+        intr = jnp.asarray(cfg.intr)
+        N = cfg.orb.n_features
+        L = cfg.th.max_local_points
+
+        # Frame builder (extractor + undistortion) and the fused tracker.
+        frame = self.tracker._build(
+            jnp.zeros((cfg.orb.height, cfg.orb.width), jnp.float32), cam
+        )
+        if self.tracker._fused is None:
+            self.tracker._fused = tracking_fused.make_fused_tracker(cfg)
+        mir = self.mirror
+        eye = jnp.eye(4)
+        out = self.tracker._fused(
+            mir.pt_xyz, mir.pt_desc, mir.pt_valid, mir.pt_normal,
+            mir.pt_min_dist, mir.pt_max_dist,
+            mir.kf_desc, mir.kf_angle, mir.kf_obs_point,
+            frame, cam, intr,
+            eye, eye, jnp.full(N, -1, jnp.int32), frame.feats.octave,
+            jnp.int32(0), jnp.bool_(False),
+            jnp.zeros(L, jnp.int32), jnp.zeros(L, bool), jnp.bool_(False),
+        )
+        jax.block_until_ready(out["packed"])
+
+        # Initialization path.
+        import jax.random as jrandom
+
+        jax.block_until_ready(
+            tk.bootstrap(frame, frame, self.tracker._K, jrandom.PRNGKey(0))[1].T21
+        )
+
+        # Unfused local-map tracking (relocalization's polish path).
+        import numpy as np_
+
+        jax.block_until_ready(tk.track_points(
+            eye, jnp.ones((L, 3)).at[:, 2].set(5.0),
+            jnp.zeros((L, 8), jnp.uint32), jnp.zeros(L, bool),
+            jnp.zeros(L, jnp.int32), jnp.zeros((L, 3)), jnp.zeros(L),
+            jnp.full(L, 100.0), jnp.zeros(N, bool), jnp.zeros((N, 3)),
+            jnp.zeros(N, bool), frame, cam, intr,
+            jnp.float32(cfg.th.localmap_search_radius),
+            scale_factor=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels,
+            use_frustum=True, ratio=0.8,
+        )[0])
+
+        # BoW transform.
+        self.db.compute_bow(
+            np_.zeros((N, 8), np_.uint32), np_.zeros(N, bool)
+        )
+
+        # Relocalization programs (match + PnP + LM polish).
+        from ..solvers.pnp import solve_pnp
+        from ..optim import optimize_pose
+        from .relocalization import _match_frame_to_kf_points
+
+        jax.block_until_ready(_match_frame_to_kf_points(
+            frame.feats.desc, frame.feats.valid, frame.feats.angle,
+            jnp.zeros((N, 8), jnp.uint32), jnp.zeros(N), jnp.zeros(N, bool),
+        ).idx)
+        pnp = solve_pnp(
+            jnp.ones((N, 3)).at[:, 2].set(5.0), frame.xy_un, frame.sigma2,
+            jnp.zeros(N, bool), intr, jrandom.PRNGKey(0),
+        )
+        jax.block_until_ready(optimize_pose(
+            eye, jnp.ones((N, 3)).at[:, 2].set(5.0), frame.xy_un,
+            frame.sigma2, jnp.zeros(N, bool), intr,
+        ).Tcw)
+
+        # Mapping-side buckets (local BA, fuse, triangulation).
+        self.mapper.warmup()
+
+        if include_loop:
+            from ..solvers.sim3_solver import solve_sim3
+            from ..optim.sim3_opt import optimize_sim3
+            from ..optim.pose_graph import optimize_pose_graph
+            from .loop_closing import PROJ_CAP, SIM3_CAP, _match_bound_features
+            from ..matching import matchers
+            from ..features.orb import FrameFeatures
+
+            jax.block_until_ready(_match_bound_features(
+                jnp.zeros((N, 8), jnp.uint32), jnp.zeros(N, bool), jnp.zeros(N),
+                jnp.zeros((N, 8), jnp.uint32), jnp.zeros(N, bool), jnp.zeros(N),
+            ).idx)
+            x = jnp.ones((SIM3_CAP, 3)).at[:, 2].set(5.0)
+            uv = jnp.full((SIM3_CAP, 2), 100.0)
+            s2 = jnp.ones(SIM3_CAP)
+            r = solve_sim3(x, x, jnp.ones(SIM3_CAP, bool), uv, uv, s2, s2,
+                           intr, jrandom.PRNGKey(1), min_inliers=20)
+            jax.block_until_ready(optimize_sim3(
+                r.S12, x, x, r.inliers, uv, uv, s2, s2, intr
+            ).S12)
+            K_cap = self.store.cfg.max_keyframes
+            jax.block_until_ready(optimize_pose_graph(
+                jnp.tile(jnp.eye(4), (K_cap, 1, 1)),
+                jnp.ones(K_cap, bool), jnp.zeros(K_cap, bool).at[0].set(True),
+                jnp.zeros(2, jnp.int32), jnp.ones(2, jnp.int32),
+                jnp.tile(jnp.eye(4), (2, 1, 1)), jnp.ones(2, bool), iters=20,
+            ))
+            feats = FrameFeatures(
+                xy=frame.xy_un, response=jnp.zeros(N), angle=jnp.zeros(N),
+                octave=jnp.zeros(N, jnp.int32),
+                desc=jnp.zeros((N, 8), jnp.uint32), valid=jnp.zeros(N, bool),
+            )
+            jax.block_until_ready(matchers.search_by_projection(
+                point_desc=jnp.zeros((PROJ_CAP, 8), jnp.uint32),
+                point_uv=jnp.full((PROJ_CAP, 2), 100.0),
+                point_valid=jnp.zeros(PROJ_CAP, bool),
+                point_octave=jnp.zeros(PROJ_CAP, jnp.int32),
+                feats=feats, radius=jnp.full(PROJ_CAP, 8.0), ratio=1.0,
+                max_dist=50, octave_lo=-8, octave_hi=8,
+            ).idx)
+        return _time.time() - t0
 
     # ------------------------------------------------------------------ #
     def track_monocular(self, img, timestamp: float = 0.0):
@@ -98,18 +312,43 @@ class System:
         return self.tracker.track(img, timestamp)
 
     def activate_localization_mode(self):
-        """Stop mapping; track against the frozen map (System.cc:154-158)."""
+        """Stop mapping; track against the frozen map (System.cc:154-158).
+        The map is truly frozen: no keyframes are inserted
+        (Tracking.cc:699-700) and no point statistics are written — the
+        store is bit-identical afterwards."""
         self.enable_mapping = False
+        self.tracker.only_tracking = True
+        if self.mapping_worker is not None:
+            self.mapping_worker.wait_idle(timeout=120.0)
 
     def deactivate_localization_mode(self):
         self.enable_mapping = True
+        self.tracker.only_tracking = False
 
     def reset(self):
         self.tracker.reset()  # on_reset callback clears the BoW database
 
     def flush(self):
-        """Drain the pipelined in-flight frame (end of stream)."""
+        """Drain the pipelined in-flight frame and the keyframe queues
+        (end of stream — the async analogue of waiting for the reference's
+        worker threads to go idle)."""
         self.tracker.flush()
+        if self.mapping_worker is not None:
+            self.mapping_worker.wait_idle(timeout=120.0)
+        if self.loop_worker is not None:
+            self.loop_worker.wait_idle(timeout=120.0)
+        gba = self.loop_closer._gba_thread
+        if gba is not None and gba.is_alive():
+            gba.join(timeout=120.0)
+
+    def shutdown(self):
+        """Stop the worker threads (System::Shutdown, System.cc:169-182)."""
+        self.flush()
+        self.loop_closer._abort_running_gba()
+        if self.mapping_worker is not None:
+            self.mapping_worker.shutdown()
+        if self.loop_worker is not None:
+            self.loop_worker.shutdown()
 
     @property
     def state(self) -> TrackingState:
@@ -122,7 +361,11 @@ class System:
         main.cc:147-182)."""
         from ..io import osmap_io
 
-        return osmap_io.save_map(self.store, self.cfg, base, options)
+        # The reference stops LocalMapping for the save (Osmap.cpp:70-73).
+        if self.mapping_worker is not None:
+            self.mapping_worker.wait_idle(timeout=120.0)
+        with self.lock:
+            return osmap_io.save_map(self.store, self.cfg, base, options)
 
     def load_map(self, base: str):
         """Load an Osmap-format map and resume in LOST state: the next
@@ -130,20 +373,24 @@ class System:
         Osmap.cpp:180-291)."""
         from ..io import osmap_io
 
-        header = osmap_io.load_map(self.store, self.cfg, base)
-        # Rebuild the BoW database for relocalization.
-        self.db.clear()
-        for k in np.nonzero(self.store.kf_valid)[0]:
-            _, _, bow = self.db.compute_bow(
-                self.store.kf_desc[k], self.store.kf_feat_valid[k]
-            )
-            self.db.add(int(k), bow)
-        self.tracker.state = TrackingState.LOST
-        self.tracker.last = None
-        self.tracker.velocity = None
-        kfs = np.nonzero(self.store.kf_valid)[0]
-        self.tracker.ref_kf = int(kfs[-1]) if len(kfs) else -1
-        self.mirror.refresh()
+        if self.mapping_worker is not None:
+            self.mapping_worker.request_reset()
+            self.mapping_worker.wait_idle(timeout=120.0)
+        with self.lock:
+            header = osmap_io.load_map(self.store, self.cfg, base)
+            # Rebuild the BoW database for relocalization.
+            self.db.clear()
+            for k in np.nonzero(self.store.kf_valid)[0]:
+                _, _, bow = self.db.compute_bow(
+                    self.store.kf_desc[k], self.store.kf_feat_valid[k]
+                )
+                self.db.add(int(k), bow)
+            self.tracker.state = TrackingState.LOST
+            self.tracker.last = None
+            self.tracker.velocity = None
+            kfs = np.nonzero(self.store.kf_valid)[0]
+            self.tracker.ref_kf = int(kfs[-1]) if len(kfs) else -1
+            self.mirror.refresh()
         return header
 
     # ------------------------------------------------------------------ #

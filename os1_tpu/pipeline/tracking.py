@@ -11,6 +11,7 @@ NO_IMAGES_YET / NOT_INITIALIZED / OK / LOST.
 from __future__ import annotations
 
 import enum
+import threading
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -64,6 +65,19 @@ class Tracker:
     relocalizer = None  # callback(frame) -> (ok, Tcw, bind), wired by System
     trajectory: list = field(default_factory=list)
     timer: StageTimer = field(default_factory=StageTimer)
+    # Map lock (Map::mMutexMapUpdate): the reference's Tracking::Track takes
+    # it for the whole per-frame pass (Tracking.cc:133); here only the host
+    # FSM sections hold it — device dispatches/waits run outside so the
+    # mapping worker can interleave its locked phases between frames.
+    lock: threading.RLock = field(default_factory=threading.RLock)
+    # Backpressure hooks, wired by System in async mode (reference
+    # SetAcceptKeyFrames / InterruptBA protocol, Tracking.cc:719,755):
+    mapping_idle = None  # callable() -> bool | None (None = always idle)
+    interrupt_ba = None  # callable() -> None | None
+    # Localization-only mode (mbOnlyTracking): the map is frozen — no
+    # keyframes, no observations, no point stats are written
+    # (Tracking.cc:699-700 gates NeedNewKeyFrame).
+    only_tracking: bool = False
 
     def __post_init__(self):
         self._build = make_frame_builder(self.cfg.orb)
@@ -94,12 +108,12 @@ class Tracker:
         self.frame_id += 1
 
         if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
-            with self.timer("trk.initialize"):
+            with self.timer("trk.initialize"), self.lock:
                 self._monocular_initialization(frame, fid, timestamp)
         elif self.state == TrackingState.OK:
             self._track_frame(frame, fid, timestamp)
         else:  # LOST
-            with self.timer("trk.relocalize"):
+            with self.timer("trk.relocalize"), self.lock:
                 self._relocalize(frame, fid, timestamp)
 
         # Trajectory entries are recorded exactly once per accepted frame by
@@ -144,19 +158,16 @@ class Tracker:
         f1, f2 = self.init_ref.data, frame
         T21 = np.asarray(init.T21)
 
+        from .frame import unpack_host
+
+        p1, p2 = jax.device_get((f1.host_pack, f2.host_pack))
         k1 = st.add_keyframe(
-            np.eye(4, dtype=np.float32), np.asarray(f1.xy_un),
-            np.asarray(f1.feats.angle), np.asarray(f1.feats.octave),
-            np.asarray(f1.feats.desc), np.asarray(f1.feats.valid),
+            np.eye(4, dtype=np.float32), *unpack_host(p1),
             frame_id=self.init_ref.frame_id, timestamp=self.init_ref.timestamp,
         )
-        k2 = st.add_keyframe(
-            T21, np.asarray(f2.xy_un),
-            np.asarray(f2.feats.angle), np.asarray(f2.feats.octave),
-            np.asarray(f2.feats.desc), np.asarray(f2.feats.valid),
-            frame_id=fid, timestamp=timestamp,
-        )
+        k2 = st.add_keyframe(T21, *unpack_host(p2), frame_id=fid, timestamp=timestamp)
 
+        st.kf_parent[k2] = k1  # spanning-tree root edge (KeyFrame::ChangeParent)
         good = np.asarray(init.good)
         m_idx = np.asarray(match.idx)
         pts3d = np.asarray(init.points)
@@ -239,23 +250,23 @@ class Tracker:
     # steady-state tracking (Tracking.cc:231-342)
     # ------------------------------------------------------------------ #
     def _track_frame(self, frame, fid, timestamp):
-        th = self.cfg.th
         if self.mirror is not None and self.pipelined:
-            self._track_frame_pipelined(frame, fid, timestamp)
+            self._track_frame_pipelined(frame, fid, timestamp)  # locks inside
             return
-        if self.mirror is not None:
-            ok, Tcw, bind, n_inl = self._track_frame_device(frame)
-        else:
-            ok, Tcw, bind, n_inl = self._track_motion_model(frame)
+        with self.lock:
+            if self.mirror is not None:
+                ok, Tcw, bind, n_inl = self._track_frame_device(frame)
+            else:
+                ok, Tcw, bind, n_inl = self._track_motion_model(frame)
+                if not ok:
+                    ok, Tcw, bind, n_inl = self._track_reference_kf(frame)
             if not ok:
-                ok, Tcw, bind, n_inl = self._track_reference_kf(frame)
-        if not ok:
-            self._mark_lost(frame, fid, timestamp, self.last.Tcw)
-            return
+                self._mark_lost(frame, fid, timestamp, self.last.Tcw)
+                return
 
-        if self.mirror is None:
-            Tcw, bind, n_inl = self._track_local_map(frame, Tcw, bind)
-        self._finish_frame(frame, fid, timestamp, Tcw, bind, n_inl)
+            if self.mirror is None:
+                Tcw, bind, n_inl = self._track_local_map(frame, Tcw, bind)
+            self._finish_frame(frame, fid, timestamp, Tcw, bind, n_inl)
 
     def _mark_lost(self, frame, fid, timestamp, Tcw):
         self.state = TrackingState.LOST
@@ -380,21 +391,33 @@ class Tracker:
         return out, local_ids
 
     def _apply_result(self, frame, fid, timestamp, out, local_ids):
-        """Materialize one fused result and run the FSM tail for its frame."""
+        """Materialize one fused result and run the FSM tail for its frame.
+        The device wait happens OUTSIDE the map lock; the host bookkeeping
+        under it."""
+        from . import tracking_fused
+
         st = self.store
         with self.timer("trk.readback"):
-            host = jax.device_get(out)
-        if not bool(host["pre_ok"]):
-            self._mark_lost(frame, fid, timestamp, self.last.Tcw)
-            return
-        bind = host["bind"].astype(np.int64)
-        # Tracking stats for culling (MapPoint::IncreaseVisible/Found).
-        st.pt_visible[local_ids[host["visible"]]] += 1
-        st.pt_found[bind[bind >= 0]] += 1
-        self._finish_frame(
-            frame, fid, timestamp, host["Tcw"].astype(np.float32), bind,
-            int(host["n_inliers"]),
-        )
+            host = tracking_fused.unpack_result(
+                out["packed"], self.cfg.orb.n_features, self.cfg.th.max_local_points
+            )
+        with self.lock:
+            if not bool(host["pre_ok"]):
+                self._mark_lost(frame, fid, timestamp, self.last.Tcw)
+                return
+            bind = host["bind"].astype(np.int64)
+            # Binds may reference points culled by the mapping worker since
+            # dispatch — drop them.
+            bind = np.where((bind >= 0) & st.pt_valid[np.clip(bind, 0, None)], bind, -1)
+            # Tracking stats for culling (MapPoint::IncreaseVisible/Found).
+            # Frozen in localization-only mode: the map must stay untouched.
+            if not self.only_tracking:
+                st.pt_visible[local_ids[host["visible"]]] += 1
+                st.pt_found[bind[bind >= 0]] += 1
+            self._finish_frame(
+                frame, fid, timestamp, host["Tcw"].astype(np.float32), bind,
+                int(host["n_inliers"]),
+            )
 
     def _track_frame_device(self, frame):
         """Synchronous fused frame: one dispatch, one readback. Returns
@@ -409,13 +432,18 @@ class Tracker:
             self.last.data.feats.octave,
             has_vel, self.last.bind,
         )
-        host = jax.device_get(out)
+        from . import tracking_fused
+
+        host = tracking_fused.unpack_result(
+            out["packed"], self.cfg.orb.n_features, self.cfg.th.max_local_points
+        )
         if not bool(host["pre_ok"]):
             return False, None, None, 0
         bind = host["bind"].astype(np.int64)
         st = self.store
-        st.pt_visible[local_ids[host["visible"]]] += 1
-        st.pt_found[bind[bind >= 0]] += 1
+        if not self.only_tracking:
+            st.pt_visible[local_ids[host["visible"]]] += 1
+            st.pt_found[bind[bind >= 0]] += 1
         return True, host["Tcw"].astype(np.float32), bind, int(host["n_inliers"])
 
     # ------------------------------------------------------------------ #
@@ -428,23 +456,23 @@ class Tracker:
         readback round trip is hidden behind the next frame's execution).
         Pose/bind chain device-to-device; the caller-visible (state, pose)
         lag one frame."""
-        ch = self._chain
-        if ch is None:
-            # First pipelined frame after init/reloc: seed from host state.
-            prev = self._prev_Tcw if self._prev_Tcw is not None else self.last.Tcw
-            ch = dict(
-                bind=jnp.asarray(self.last.bind.astype(np.int32)),
-                T=jnp.asarray(self.last.Tcw.astype(np.float32)),
-                prevT=jnp.asarray(prev.astype(np.float32)),
-                octave=self.last.data.feats.octave,
-                has_vel=self.velocity is not None,
+        with self.lock:
+            ch = self._chain
+            if ch is None:
+                # First pipelined frame after init/reloc: seed from host state.
+                prev = self._prev_Tcw if self._prev_Tcw is not None else self.last.Tcw
+                ch = dict(
+                    bind=jnp.asarray(self.last.bind.astype(np.int32)),
+                    T=jnp.asarray(self.last.Tcw.astype(np.float32)),
+                    prevT=jnp.asarray(prev.astype(np.float32)),
+                    octave=self.last.data.feats.octave,
+                    has_vel=self.velocity is not None,
+                )
+            out, local_ids = self._dispatch_fused(
+                frame, ch["T"], ch["prevT"], ch["bind"], ch["octave"],
+                ch["has_vel"], self.last.bind,
             )
-        out, local_ids = self._dispatch_fused(
-            frame, ch["T"], ch["prevT"], ch["bind"], ch["octave"],
-            ch["has_vel"], self.last.bind,
-        )
-        for v in out.values():
-            v.copy_to_host_async()
+        out["packed"].copy_to_host_async()
         self._chain = dict(
             bind=out["bind"], T=out["Tcw"], prevT=ch["T"],
             octave=frame.feats.octave, has_vel=True,
@@ -557,8 +585,9 @@ class Tracker:
         )
         # Tracking stats for culling (MapPoint::IncreaseVisible/Found).
         vis_np = np.asarray(visible)
-        st.pt_visible[ids[vis_np & valid]] += 1
-        st.pt_found[new_bind[new_bind >= 0]] += 1
+        if not self.only_tracking:
+            st.pt_visible[ids[vis_np & valid]] += 1
+            st.pt_found[new_bind[new_bind >= 0]] += 1
         return np.asarray(T), new_bind, int(n)
 
     # ------------------------------------------------------------------ #
@@ -567,7 +596,15 @@ class Tracker:
     def _need_new_keyframe(self, n_inl, fid):
         th = self.cfg.th
         st = self.store
+        # Localization-only mode never inserts keyframes (Tracking.cc:699-700).
+        if self.only_tracking:
+            return False
         if self.ref_kf < 0:
+            return False
+        # Fresh relocalization: hold off keyframe insertion for one max-frames
+        # window when the map is already mature (Tracking.cc:709-710).
+        if (fid < self.last_reloc_frame_id + th.kf_max_frames
+                and st.n_keyframes() > th.kf_max_frames):
             return False
         # Reference matches are counted against points with >= 3 observations
         # (KeyFrame::TrackedMapPoints(3) when the map has > 2 KFs,
@@ -601,17 +638,31 @@ class Tracker:
                 Ow_kf = -Tkf[:3, :3].T @ Tkf[:3, 3]
                 baseline = float(np.linalg.norm(Ow_cur - Ow_kf))
                 c3 = md > 1e-6 and baseline / md > th.kf_baseline_depth_ratio
-        return c1 or c2 or c3
+        if not (c1 or c2 or c3):
+            return False
+        # Backpressure (Tracking.cc:719,749-760): monocular keyframes are
+        # only inserted when local mapping is idle; otherwise interrupt the
+        # running BA and retry next frame.
+        if self.mapping_idle is None or self.mapping_idle():
+            return True
+        if self.interrupt_ba is not None:
+            self.interrupt_ba()
+        return False
 
     def _create_new_keyframe(self, frame, fid, timestamp, bind):
         st = self.store
         if int((~st.kf_valid).sum()) == 0:
             return
         with self.timer("trk.create_kf"):
+            from .frame import unpack_host
+
+            # ONE device readback for all five frame arrays (each separate
+            # d2h costs ~9 ms over the tunnel).
+            xy_un, angle, octave, desc, valid = unpack_host(
+                np.asarray(frame.host_pack)
+            )
             k = st.add_keyframe(
-                self.last.Tcw, np.asarray(frame.xy_un),
-                np.asarray(frame.feats.angle), np.asarray(frame.feats.octave),
-                np.asarray(frame.feats.desc), np.asarray(frame.feats.valid),
+                self.last.Tcw, xy_un, angle, octave, desc, valid,
                 frame_id=fid, timestamp=timestamp,
             )
             f_idx = np.nonzero(bind >= 0)[0]

@@ -38,6 +38,52 @@ from .frame import FrameData
 from .tracking_kernels import NEG, _track_points_core, _track_reference_kf_core
 
 
+def pack_result(Tcw, bind, n_inliers, pre_ok, n_pre, used_motion, visible):
+    """Pack the fused step's outputs into ONE int32 vector.
+
+    The tunneled TPU's device->host path costs ~9 ms latency PER TRANSFER
+    (~50 MB/s); a dict of 7 small arrays costs several of those every frame.
+    One packed vector = one transfer. Layout:
+      [0:16]   Tcw float32 bits
+      [16]     n_inliers | [17] n_pre | [18] pre_ok | [19] used_motion
+      [20:20+N]        bind
+      [20+N : 20+N+L/32] visible bitmask (bit i of word w = lane w*32+i)
+    """
+    L = visible.shape[0]
+    vis_words = jnp.sum(
+        visible.reshape(L // 32, 32).astype(jnp.uint32)
+        << jnp.arange(32, dtype=jnp.uint32),
+        axis=-1,
+    ).astype(jnp.int32)
+    head = jax.lax.bitcast_convert_type(Tcw.reshape(-1), jnp.int32)
+    scalars = jnp.stack(
+        [n_inliers.astype(jnp.int32), n_pre.astype(jnp.int32),
+         pre_ok.astype(jnp.int32), used_motion.astype(jnp.int32)]
+    )
+    return jnp.concatenate([head, scalars, bind.astype(jnp.int32), vis_words])
+
+
+def unpack_result(arr, n_feat: int, n_local: int) -> dict:
+    """Host-side inverse of :func:`pack_result` (numpy)."""
+    import numpy as np
+
+    arr = np.asarray(arr)
+    Tcw = arr[:16].view(np.float32).reshape(4, 4)
+    words = arr[20 + n_feat:].view(np.uint32)
+    visible = (
+        (words[:, None] >> np.arange(32, dtype=np.uint32)) & 1
+    ).astype(bool).reshape(-1)[:n_local]
+    return dict(
+        Tcw=Tcw,
+        n_inliers=int(arr[16]),
+        n_pre=int(arr[17]),
+        pre_ok=bool(arr[18]),
+        used_motion=bool(arr[19]),
+        bind=arr[20:20 + n_feat],
+        visible=visible,
+    )
+
+
 def _orthonormalize_se3(T: jnp.ndarray) -> jnp.ndarray:
     """Project the rotation block back onto SO(3) (Gram-Schmidt on rows).
 
@@ -61,6 +107,13 @@ def make_fused_tracker(cfg: SlamConfig):
     th = cfg.th
     scale_factor = cfg.orb.scale_factor
     n_levels = cfg.orb.n_levels
+    # Pose-opt schedule for the hot path: damped Gauss-Newton, 3 rounds x 4
+    # iterations with chi2 reclassification between rounds, instead of the
+    # reference's LM 4x10 (Optimizer.cc:284-329). On TPU the solver is a
+    # latency-bound sequential chain — this cuts it ~7x; with motion-model
+    # initialization the extra iterations change the pose below measurement
+    # noise (validated by the bench ATE against rendered ground truth).
+    POSE_CFG = (3, 4, False)
 
     @jax.jit
     def step(
@@ -118,7 +171,7 @@ def make_fused_tracker(cfg: SlamConfig):
                 no_prev, zeros3, no_prev,
                 frame, cam, intr, radius,
                 scale_factor=scale_factor, n_levels=n_levels,
-                use_frustum=False, ratio=0.9,
+                use_frustum=False, ratio=0.9, pose_opt_cfg=POSE_CFG,
             )
             return r[0], r[1], r[3]
 
@@ -153,7 +206,7 @@ def make_fused_tracker(cfg: SlamConfig):
             T2, b2, _, n2 = _track_reference_kf_core(
                 last_T, kf_desc[ref_kf], has_pt,
                 pt_xyz[jnp.clip(obs, 0, P - 1)], kf_angle[ref_kf],
-                frame, intr,
+                frame, intr, pose_opt_cfg=POSE_CFG,
             )
             g2 = jnp.where(b2 >= 0, obs[jnp.clip(b2, 0, n_feat - 1)], NEG)
             # A missing reference keyframe (ref_kf < 0 on host, clamped to 0
@@ -185,7 +238,7 @@ def make_fused_tracker(cfg: SlamConfig):
             prev_bound, prev_xyz, prev_bound,
             frame, cam, intr, jnp.float32(th.localmap_search_radius),
             scale_factor=scale_factor, n_levels=n_levels,
-            use_frustum=True, ratio=0.8,
+            use_frustum=True, ratio=0.8, pose_opt_cfg=POSE_CFG,
         )
         L = local_ids.shape[0]
         g3 = jnp.where(
@@ -193,9 +246,13 @@ def make_fused_tracker(cfg: SlamConfig):
             local_ids[jnp.clip(lb, 0, L - 1)],
             jnp.where(prev_bound & inlier, g_pre, NEG),
         )
+        T_final = _orthonormalize_se3(T3)
+        # Tcw/bind stay as device arrays for the pipelined pose chain (never
+        # downloaded); the host reads ONLY the packed vector (one transfer).
         return dict(
-            Tcw=_orthonormalize_se3(T3), bind=g3, n_inliers=n3, pre_ok=ok_pre,
-            n_pre=n_pre, used_motion=ok1, visible=visible & cand,
+            Tcw=T_final, bind=g3,
+            packed=pack_result(T_final, g3, n3, ok_pre, n_pre, ok1,
+                               visible & cand),
         )
 
     return step

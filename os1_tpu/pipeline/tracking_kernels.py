@@ -55,6 +55,7 @@ def _track_points_core(
     use_frustum: bool = False,
     ratio: float = 0.8,
     max_dist: int = mcore.TH_HIGH,
+    pose_opt_cfg: tuple = (4, 10, True),  # (rounds, iters/round, accept_reject)
 ):
     """Project candidate points into the frame, match, and pose-optimize.
 
@@ -115,17 +116,19 @@ def _track_points_core(
     pts_for_feat = jnp.where(
         new_bound[:, None], pt_xyz[jnp.clip(bind, 0, None)], prev_xyz
     )
+    rounds, iters, ar = pose_opt_cfg
     opt = optimize_pose(
-        T0, pts_for_feat, frame.xy_un, frame.sigma2, bound, intr
+        T0, pts_for_feat, frame.xy_un, frame.sigma2, bound, intr,
+        rounds=rounds, iters_per_round=iters, accept_reject=ar,
     )
     inlier = opt.inlier & bound
     bind = jnp.where(inlier & new_bound, bind, NEG)
     return opt.Tcw, bind, inlier, jnp.sum(inlier), visible
 
 
-track_points = functools.partial(jax.jit, static_argnames=("use_frustum", "n_levels"))(
-    _track_points_core
-)
+track_points = functools.partial(
+    jax.jit, static_argnames=("use_frustum", "n_levels", "pose_opt_cfg")
+)(_track_points_core)
 
 
 def _track_reference_kf_core(
@@ -136,6 +139,7 @@ def _track_reference_kf_core(
     kf_angle: jnp.ndarray,  # [N]
     frame: FrameData,
     intr: jnp.ndarray,
+    pose_opt_cfg: tuple = (4, 10, True),
 ):
     """Descriptor-only matching against the reference keyframe + pose opt
     (TrackReferenceKeyFrame, Tracking.cc:540-582; the reference prunes with
@@ -153,13 +157,19 @@ def _track_reference_kf_core(
     res = mcore.rotation_consistency(frame.feats.angle, kf_angle, res)
     bound = res.ok
     pts_for_feat = kf_pt_xyz[jnp.clip(res.idx, 0, None)]
-    opt = optimize_pose(T0, pts_for_feat, frame.xy_un, frame.sigma2, bound, intr)
+    rounds, iters, ar = pose_opt_cfg
+    opt = optimize_pose(
+        T0, pts_for_feat, frame.xy_un, frame.sigma2, bound, intr,
+        rounds=rounds, iters_per_round=iters, accept_reject=ar,
+    )
     inlier = opt.inlier & bound
     bind = jnp.where(inlier, res.idx, NEG)
     return opt.Tcw, bind, inlier, jnp.sum(inlier)
 
 
-track_reference_kf = jax.jit(_track_reference_kf_core)
+track_reference_kf = functools.partial(jax.jit, static_argnames=("pose_opt_cfg",))(
+    _track_reference_kf_core
+)
 
 
 @jax.jit
@@ -355,10 +365,24 @@ def fuse_batch(
         )
         return res.ok & valid, res.idx
 
-    return jax.vmap(one)(
+    ok, idx = jax.vmap(one)(
         tgt_T, tgt_xy, tgt_angle, tgt_octave, tgt_desc, tgt_valid,
         cand_idx, cand_valid,
     )
+    # Device-side compaction: only the ok entries matter and they are sparse
+    # (tens per target). Downloading the dense [T, C] pair would move ~1.5 MB
+    # over a ~50 MB/s tunnel per keyframe; instead pack the first FUSE_TOP ok
+    # entries per row as (cand_slot << 12 | feat_idx) codes — ~50 KB.
+    order = jnp.argsort(~ok, axis=1)[:, :FUSE_TOP]  # ok lanes first (stable)
+    ok_c = jnp.take_along_axis(ok, order, axis=1)
+    idx_c = jnp.take_along_axis(idx, order, axis=1)
+    code = jnp.where(
+        ok_c, (order << 12) | jnp.clip(idx_c, 0, (1 << 12) - 1), -1
+    ).astype(jnp.int32)
+    return code
+
+
+FUSE_TOP = 256  # max fuse matches downloaded per target (code-packed)
 
 
 @jax.jit

@@ -74,9 +74,15 @@ class MappingWorker:
 
     @property
     def accepting(self) -> bool:
-        """SetAcceptKeyFrames state: idle and not stopped (the reference
-        flips it false for the whole busy span, LocalMapping.cc:53,101)."""
-        return self._idle.is_set() and not self._stop_requested
+        """SetAcceptKeyFrames state (LocalMapping.cc:53,101). Slightly more
+        eager than the reference's mono rule (strictly idle): up to one
+        keyframe may queue behind the in-flight pass — map coverage must not
+        stall for the heavy stages, which the mapper itself SKIPS while the
+        queue is non-empty (the reference's CheckNewKeyFrames gates,
+        LocalMapping.cc:72), so a queued keyframe still gets its points
+        triangulated promptly."""
+        with self._cv:
+            return not self._stop_requested and len(self._queue) < 2
 
     def queue_size(self) -> int:
         with self._cv:

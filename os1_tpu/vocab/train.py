@@ -26,6 +26,21 @@ def _pack(bits: np.ndarray) -> np.ndarray:
     return by.reshape(len(bits), 8, 4).view(np.uint32).reshape(len(bits), 8)
 
 
+def _assign(bits: np.ndarray, centers: np.ndarray, chunk: int = 131072) -> np.ndarray:
+    """Nearest-centroid assignment under Hamming distance via the popcount
+    identity |a ^ c| = |a| + |c| - 2 a.c on 0/1 floats — a BLAS matmul
+    instead of an [M, k, 256] byte-compare broadcast (the broadcast needs
+    ~3 GB and ~50x the time at vocabulary-training scale, M ~ 10^6)."""
+    cf = centers.astype(np.float32)
+    ones_c = cf.sum(1)
+    out = np.empty(len(bits), np.int64)
+    for lo in range(0, len(bits), chunk):
+        bf = bits[lo : lo + chunk].astype(np.float32)
+        d = ones_c[None, :] - 2.0 * (bf @ cf.T)  # + |a| is constant per row
+        out[lo : lo + chunk] = d.argmin(1)
+    return out
+
+
 def _kmedians(bits: np.ndarray, k: int, rng, iters: int = 8):
     """Binary k-medians: returns (centroid bits [k', 256], assignment [M]).
     k' <= k (empty clusters dropped)."""
@@ -34,8 +49,7 @@ def _kmedians(bits: np.ndarray, k: int, rng, iters: int = 8):
     centers = bits[rng.choice(m, size=k, replace=False)].astype(np.uint8)
     assign = np.zeros(m, np.int64)
     for _ in range(iters):
-        d = (bits[:, None, :] != centers[None, :, :]).sum(-1)
-        assign = d.argmin(1)
+        assign = _assign(bits, centers)
         new = []
         for c in range(len(centers)):
             sel = bits[assign == c]
@@ -45,8 +59,7 @@ def _kmedians(bits: np.ndarray, k: int, rng, iters: int = 8):
         centers = np.array(new, np.uint8)
         if len(centers) <= 1:
             break
-    d = (bits[:, None, :] != centers[None, :, :]).sum(-1)
-    assign = d.argmin(1)
+    assign = _assign(bits, centers)
     return centers, assign
 
 
@@ -135,4 +148,44 @@ def training_descriptors(n_images: int = 40, n_features: int = 512, seed: int = 
         v = np.asarray(f.valid)
         descs.append(np.asarray(f.desc)[v])
         docs.append(np.full(v.sum(), i))
+    return np.concatenate(descs), np.concatenate(docs)
+
+
+def training_corpus(n_images: int = 800, n_features: int = 1024, seed: int = 11):
+    """Reference-scale training corpus: ORB descriptors from hundreds of
+    varied synthetic textures and rendered scene views (~n_images * 1k
+    descriptors). Feeds the packaged 10^5-word vocabulary (the analogue of
+    the reference's orbVoc.bin, which was trained on real image corpora —
+    rendered imagery is this environment's only corpus)."""
+    import jax.numpy as jnp
+
+    from ..features.orb import OrbConfig, make_extractor
+    from ..io import synthetic
+
+    cfg = OrbConfig(height=480, width=640, n_features=n_features, n_levels=8)
+    extract = make_extractor(cfg)
+    rng = np.random.default_rng(seed)
+    K = np.array([[400.0, 0, 320.0], [0, 400.0, 240.0], [0, 0, 1.0]])
+    descs, docs = [], []
+    # Mix: plain multi-scale textures + rendered room/plane scene views.
+    scenes = [synthetic.default_scene(seed=s) for s in range(4)]
+    scenes += [synthetic.room_scene(seed=40 + s) for s in range(4)]
+    for i in range(n_images):
+        if i % 3 == 0:
+            cells = int(rng.integers(16, 96))
+            img = synthetic.smooth_texture(480, 640, cells, seed=seed + i)
+        else:
+            scene = scenes[int(rng.integers(len(scenes)))]
+            pos = rng.normal(0, 1.0, 3) * np.array([1.5, 0.3, 1.5])
+            yaw = rng.uniform(-np.pi, np.pi)
+            c, s = np.cos(yaw), np.sin(yaw)
+            Rwc = np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]])
+            Tcw = np.eye(4)
+            Tcw[:3, :3] = Rwc.T
+            Tcw[:3, 3] = -Rwc.T @ pos
+            img = synthetic.render(scene, Tcw, K, 480, 640)
+        f = extract(jnp.asarray(img))
+        v = np.asarray(f.valid)
+        descs.append(np.asarray(f.desc)[v])
+        docs.append(np.full(int(v.sum()), i))
     return np.concatenate(descs), np.concatenate(docs)

@@ -233,3 +233,69 @@ class TestFarPointsAndGlobalBA:
         # Map still trackable afterwards.
         state, _ = sys.track_monocular(frames[25], timestamp=25 / 30.0)
         assert state == TrackingState.OK
+
+
+class TestLoopClosureEndToEnd:
+    """A camera circling inside a textured room revisits its start: the full
+    tracker -> mapper -> loop-closer path must detect and close the loop on
+    rendered imagery alone (LoopClosing.cc:104-592 behavior), run global BA,
+    and keep the trajectory accurate (VERDICT r1 item 7)."""
+
+    @pytest.fixture(scope="class")
+    def loop_sequence(self):
+        scene = synthetic.room_scene(seed=5)
+        poses = synthetic.loop_trajectory(160, radius=1.5, revolutions=1.15)
+        frames = [synthetic.render(scene, T, K, H, W) for T in poses]
+        return frames, poses
+
+    def test_loop_closes_on_rendered_circuit(self, loop_sequence):
+        frames, poses = loop_sequence
+        sys = make_system()
+        est, gt = [], []
+        for i, f in enumerate(frames):
+            state, Tcw = sys.track_monocular(f, timestamp=i / 30.0)
+            if state == TrackingState.OK and Tcw is not None:
+                est.append(Tcw)
+                gt.append(poses[i])
+        assert len(est) > 100, "tracking did not survive the circuit"
+        assert sys.loop_closer.n_loops_closed >= 1, "no loop closed"
+        st = sys.store
+        assert np.isfinite(st.kf_T[st.kf_valid]).all()
+        assert np.isfinite(st.pt_xyz[st.pt_valid]).all()
+        # Post-closure trajectory accuracy: ATE within 3% of path length.
+        ate = synthetic.ate_rmse(est, gt)
+        traj_len = np.linalg.norm(np.diff(
+            np.array([-T[:3, :3].T @ T[:3, 3] for T in gt]), axis=0),
+            axis=1).sum()
+        assert ate < 0.03 * traj_len, f"ATE {ate:.4f} over {traj_len:.2f}m"
+        # The loop edge is recorded and the spanning tree is consistent.
+        assert len(sys.loop_closer.loop_edges) >= 1
+        live = np.nonzero(st.kf_valid)[0]
+        for k in live:
+            p = st.kf_parent[k]
+            assert p < 0 or st.kf_valid[p]
+
+
+class TestRelocalizationEndToEnd:
+    def test_blackout_then_relocalize(self, sequence):
+        """Occlusion blackout: tracking goes LOST on featureless frames and
+        must relocalize via the BoW database when imagery returns
+        (Tracking.cc:969-1131 driven end-to-end through track_monocular)."""
+        frames, poses = sequence
+        sys = make_system()
+        for i, f in enumerate(frames):
+            sys.track_monocular(f, timestamp=i / 30.0)
+        assert sys.state == TrackingState.OK
+        assert sys.store.n_keyframes() > 5, "need a mature map for this test"
+        black = np.zeros((H, W), np.float32)
+        for j in range(5):
+            state, _ = sys.track_monocular(black, timestamp=(40 + j) / 30.0)
+        assert sys.state == TrackingState.LOST
+        # Replay late-sequence imagery: the relocalizer must recover.
+        recovered = False
+        for i, f in enumerate(frames[30:]):
+            state, _ = sys.track_monocular(f, timestamp=(45 + i) / 30.0)
+            if state == TrackingState.OK:
+                recovered = True
+                break
+        assert recovered, "failed to relocalize after blackout"

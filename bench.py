@@ -69,7 +69,12 @@ def main():
     K = np.array([[400.0, 0, 320.0], [0, 400.0, 240.0], [0, 0, 1.0]])
     scene = synthetic.default_scene(seed=1)
     poses = synthetic.orbit_trajectory(N_FRAMES, advance=0.05)
-    frames = [synthetic.render(scene, T, K, 480, 640) for T in poses]
+    # uint8 frames: what a camera delivers, and 4x cheaper on the tunneled
+    # h2d path than float32 (the frame builder converts on device).
+    frames = [
+        np.clip(synthetic.render(scene, T, K, 480, 640), 0, 255).astype(np.uint8)
+        for T in poses
+    ]
 
     # Warmup: explicit compile of every device program + bucket shape, then
     # one full pass for anything data-dependent.

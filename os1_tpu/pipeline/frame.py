@@ -49,7 +49,11 @@ def make_frame_builder(orb_cfg: OrbConfig):
 
     @jax.jit
     def build(img: jnp.ndarray, cam: cam_mod.Camera) -> FrameData:
-        feats = extractor(img)
+        # Accept uint8 uploads: the tunneled h2d path moves ~50 MB/s, so a
+        # 640x480 float32 image costs ~24 ms/frame where uint8 costs ~6 ms.
+        # The grayscale conversion the reference does on host
+        # (Tracking.cc:96-109) happens here on device for free.
+        feats = extractor(img.astype(jnp.float32))
         xy_un = cam_mod.undistort_pixels(cam, feats.xy)
         sigma2 = sigma2_table[feats.octave]
         pack = jnp.concatenate(

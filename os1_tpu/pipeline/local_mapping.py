@@ -331,7 +331,7 @@ class LocalMapper:
         st = self.store
         cfg = self.cfg
         NB = cfg.th.triangulation_neighbors
-        with self.lock:
+        with self.timer("lm.tri.snap"), self.lock:
             neighbors = st.covisible_keyframes(kf, top=NB)
             if len(neighbors) == 0:
                 return
@@ -376,15 +376,18 @@ class LocalMapper:
             )
         )
         sigma2 = jnp.asarray(cfg.sigma2_table)
-        nb_idx, pts3, accepted, far = tk.triangulate_with_neighbors_batch(
-            *(jnp.asarray(a) for a in snap),
-            K, sigma2, jnp.float32(md),
-            enable_far=cfg.enable_far_points,
-        )
-        # One batched readback (separate d2h transfers cost ~9 ms each).
-        nb_idx_np, pts_np, acc, far_np = jax.device_get((nb_idx, pts3, accepted, far))
+        with self.timer("lm.tri.dispatch"):
+            nb_idx, pts3, accepted, far = tk.triangulate_with_neighbors_batch(
+                *(jnp.asarray(a) for a in snap),
+                K, sigma2, jnp.float32(md),
+                enable_far=cfg.enable_far_points,
+            )
+            # One batched readback (separate d2h transfers cost ~9 ms each).
+            nb_idx_np, pts_np, acc, far_np = jax.device_get(
+                (nb_idx, pts3, accepted, far)
+            )
 
-        with self.lock:
+        with self.timer("lm.tri.apply"), self.lock:
             if st.epoch != epoch0:
                 return  # store was reset while the device ran
             # Features bound since the snapshot (the tracker may have created
@@ -436,7 +439,7 @@ class LocalMapper:
         apply under the lock."""
         st = self.store
         cfg = self.cfg
-        with self.lock:
+        with self.timer("lm.fuse.snap"), self.lock:
             first = [int(k) for k in st.covisible_keyframes(kf, top=20)]
             targets = list(first)
             seen = set(first) | {kf}
@@ -493,15 +496,16 @@ class LocalMapper:
                 np.nan_to_num(st.pt_max_dist[sl], posinf=1e9),
             )
 
-        code = tk.fuse_batch(
-            *(jnp.asarray(a) for a in snap),
-            jnp.asarray(cfg.intr),
-            jnp.float32(cfg.camera.width), jnp.float32(cfg.camera.height),
-            jnp.float32(cfg.orb.scale_factor), n_levels=cfg.orb.n_levels,
-        )
-        code = np.asarray(code)  # [T, FUSE_TOP] packed; blocks outside the lock
+        with self.timer("lm.fuse.dispatch"):
+            code = tk.fuse_batch(
+                *(jnp.asarray(a) for a in snap),
+                jnp.asarray(cfg.intr),
+                jnp.float32(cfg.camera.width), jnp.float32(cfg.camera.height),
+                jnp.float32(cfg.orb.scale_factor), n_levels=cfg.orb.n_levels,
+            )
+            code = np.asarray(code)  # [T, FUSE_TOP]; blocks outside the lock
 
-        with self.lock:
+        with self.timer("lm.fuse.apply"), self.lock:
             if st.epoch != epoch0:
                 return
             for r, t in enumerate(rows):

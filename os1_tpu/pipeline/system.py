@@ -192,6 +192,10 @@ class System:
         L = cfg.th.max_local_points
 
         # Frame builder (extractor + undistortion) and the fused tracker.
+        # Both input dtypes (uint8 camera frames, float32 pre-converted).
+        frame = self.tracker._build(
+            jnp.zeros((cfg.orb.height, cfg.orb.width), jnp.uint8), cam
+        )
         frame = self.tracker._build(
             jnp.zeros((cfg.orb.height, cfg.orb.width), jnp.float32), cam
         )

@@ -38,6 +38,10 @@ def build_parser():
     p.add_argument("--no-loop-closing", action="store_true")
     p.add_argument("--viewer", action="store_true", help="live viewer windows")
     p.add_argument("--snapshots", default=None, help="snapshot directory")
+    p.add_argument("--warmup", action="store_true",
+                   help="compile every pipeline program into the persistent "
+                        "XLA cache (~/.cache/os1_tpu_xla) and exit; later "
+                        "runs on this machine start in seconds")
     return p
 
 
@@ -92,6 +96,12 @@ def main(argv=None):
             seq = open_sequence(args.sequence)
 
     sys_ = System(cfg=cfg, enable_loop_closing=not args.no_loop_closing)
+    if args.warmup:
+        warm_s = sys_.warmup()
+        sys_.shutdown()
+        print(f"warmup: {warm_s:.1f}s — persistent cache populated; "
+              f"cold start on this machine is now cache-replay")
+        return 0
     if args.load_map:
         sys_.load_map(args.load_map)
     if args.localization:

@@ -94,3 +94,59 @@ class TestDistributedBA:
         # Points stay sharded over the mesh; cameras replicated.
         assert len(points.sharding.device_set) == 8
         assert cam_T.sharding.is_fully_replicated
+
+
+def build_pose_graph(K=24):
+    """Drifted circular trajectory + odometry edges + one true loop edge
+    (same construction as test_loop_solvers.TestPoseGraph)."""
+    from os1_tpu.geometry import sim3
+
+    gt = []
+    for i in range(K):
+        th = 2 * np.pi * i / K
+        xi = np.array([0, 0, th, np.cos(th) - 1, np.sin(th), 0, 0], np.float32)
+        gt.append(np.asarray(sim3.exp(jnp.asarray(xi))))
+    gt = np.stack(gt)
+    bias = np.asarray(
+        sim3.exp(jnp.asarray([0.01, 0.005, 0.0, 0.0, 0.008, 0.0, 0.01], jnp.float32))
+    )
+    drift = [gt[0].copy()]
+    for i in range(1, K):
+        rel = gt[i] @ np.linalg.inv(gt[i - 1])
+        drift.append((bias @ rel @ drift[-1]).astype(np.float32))
+    drift = np.stack(drift)
+    ei, ej, eS = [], [], []
+    for i in range(K - 1):
+        ei.append(i)
+        ej.append(i + 1)
+        eS.append(drift[i + 1] @ np.linalg.inv(drift[i]))
+    ei.append(0)
+    ej.append(K - 1)
+    eS.append(gt[K - 1] @ np.linalg.inv(gt[0]))
+    return gt, drift, np.array(ei, np.int32), np.array(ej, np.int32), np.stack(eS)
+
+
+class TestDistributedPoseGraph:
+    def test_matches_single_device(self, mesh):
+        from os1_tpu.optim.pose_graph import optimize_pose_graph
+        from os1_tpu.parallel import distributed_pose_graph
+        from jax.sharding import Mesh as _Mesh
+
+        gt, drift, ei, ej, eS = build_pose_graph()
+        K = len(gt)
+        args = (
+            jnp.asarray(drift), jnp.ones(K, bool),
+            jnp.asarray(np.arange(K) == 0),
+            jnp.asarray(ei), jnp.asarray(ej),
+            jnp.asarray(eS.astype(np.float32)), jnp.ones(len(ei), bool),
+        )
+        single = optimize_pose_graph(*args, iters=15)
+        emesh = _Mesh(np.asarray(jax.devices())[:8], ("edges",))
+        dist = distributed_pose_graph(*args, mesh=emesh, iters=15)
+        np.testing.assert_allclose(
+            np.asarray(dist), np.asarray(single), atol=2e-3
+        )
+        # And it actually corrects the drift.
+        end_before = np.abs(drift[K - 1] - gt[K - 1]).max()
+        end_after = np.abs(np.asarray(dist)[K - 1] - gt[K - 1]).max()
+        assert end_after < 0.25 * end_before, (end_before, end_after)

@@ -310,6 +310,40 @@ def triangulate_with_neighbors_batch(*args, enable_far=False):
     )(*args)
 
 
+# Mirror-gathering variant: the per-keyframe feature arrays live in the
+# device mirror already (map/mirror.py), so the host uploads only index
+# vectors + dynamic masks (~60 KB) instead of the gathered rows (~1 MB over
+# a ~50 MB/s tunnel). Poses are uploaded from the host snapshot — they may
+# be fresher than the mirror mid-pass.
+@functools.partial(jax.jit, static_argnames=("enable_far",))
+def triangulate_mirror_batch(
+    T_new: jnp.ndarray,  # [4, 4] host snapshot
+    T_nb: jnp.ndarray,  # [NB, 4, 4] host snapshot
+    kf_idx: jnp.ndarray,  # scalar int32 — the new keyframe's mirror row
+    all_nb: jnp.ndarray,  # [NB] int32 — neighbor mirror rows
+    kf_xy: jnp.ndarray,  # [K, N, 2] mirror (static after insertion)
+    kf_angle: jnp.ndarray,  # [K, N] mirror
+    kf_octave: jnp.ndarray,  # [K, N] mirror
+    kf_desc: jnp.ndarray,  # [K, N, 8] mirror
+    new_unbound: jnp.ndarray,  # [N] host (obs table is host-authoritative)
+    nb_unbound: jnp.ndarray,  # [NB, N] host
+    K: jnp.ndarray,
+    sigma2_table: jnp.ndarray,
+    median_depth_new: jnp.ndarray,
+    enable_far: bool = False,
+):
+    def one(T_nb1, nb1, unb1):
+        return _triangulate_with_neighbor_impl(
+            T_new, T_nb1,
+            kf_xy[kf_idx], kf_desc[kf_idx], kf_angle[kf_idx],
+            kf_octave[kf_idx], new_unbound,
+            kf_xy[nb1], kf_desc[nb1], kf_angle[nb1], kf_octave[nb1], unb1,
+            K, sigma2_table, median_depth_new, enable_far=enable_far,
+        )
+
+    return jax.vmap(one)(T_nb, all_nb, nb_unbound)
+
+
 # All fusion targets of one keyframe in ONE device call. The reference's
 # SearchInNeighbors runs ORBmatcher::Fuse sequentially per neighbor
 # (LocalMapping.cc:369-447, ORBmatcher.cc:806-1064); here every (target,
@@ -383,6 +417,42 @@ def fuse_batch(
 
 
 FUSE_TOP = 256  # max fuse matches downloaded per target (code-packed)
+
+
+# Mirror-gathering fuse: target keyframe feature rows and the shared point
+# slice are gathered from the device mirror by index — the host uploads
+# poses, index vectors and dynamic masks (~100 KB) instead of ~3.5 MB of
+# rows per keyframe event (the tunnel moves ~50 MB/s).
+@functools.partial(jax.jit, static_argnames=("n_levels",))
+def fuse_mirror_batch(
+    tgt_T: jnp.ndarray,  # [T, 4, 4] host snapshot (poses move mid-pass)
+    row_kfs: jnp.ndarray,  # [T] int32 — target mirror rows
+    kf_xy: jnp.ndarray,  # [K, N, 2] mirror
+    kf_angle: jnp.ndarray,  # [K, N] mirror
+    kf_octave: jnp.ndarray,  # [K, N] mirror
+    kf_desc: jnp.ndarray,  # [K, N, 8] mirror
+    tgt_valid: jnp.ndarray,  # [T, N] host (feat_valid & live-row mask)
+    cand_idx: jnp.ndarray,  # [T, C] into the slice
+    cand_valid: jnp.ndarray,  # [T, C]
+    sl: jnp.ndarray,  # [S] int32 — point slots of the shared slice
+    pt_xyz: jnp.ndarray,  # [P, 3] mirror point block
+    pt_desc: jnp.ndarray,  # [P, 8] mirror
+    pt_max_dist: jnp.ndarray,  # [P] mirror (may hold +inf for far points)
+    intr: jnp.ndarray,
+    width: jnp.ndarray,
+    height: jnp.ndarray,
+    scale_factor: jnp.ndarray,
+    n_levels: int = 8,
+):
+    return fuse_batch(
+        tgt_T,
+        kf_xy[row_kfs], kf_angle[row_kfs], kf_octave[row_kfs],
+        kf_desc[row_kfs], tgt_valid,
+        cand_idx, cand_valid,
+        pt_xyz[sl], pt_desc[sl],
+        jnp.nan_to_num(pt_max_dist[sl], posinf=1e9),
+        intr, width, height, scale_factor, n_levels=n_levels,
+    )
 
 
 @jax.jit

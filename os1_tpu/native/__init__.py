@@ -57,6 +57,19 @@ def get_lib():
             ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
         ]
+        lib.bow_transform.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.vocab_train.restype = ctypes.c_int64
+        lib.vocab_train.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_uint32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
         lib.ring_create.restype = ctypes.c_void_p
         lib.ring_create.argtypes = [ctypes.c_int64, ctypes.c_int64, ctypes.c_int]
         lib.ring_destroy.argtypes = [ctypes.c_void_p]
@@ -106,6 +119,66 @@ def load_vocab_binary_native(path: str):
     if n_words < 0:
         return None
     return desc, children, weight, word, int(n_words), kb, int(L.value)
+
+
+def bow_transform_native(desc, valid, node_desc, node_children, node_weight,
+                         node_word, kb: int, depth: int):
+    """Vocabulary-tree descent on the host (TemplatedVocabulary::transform).
+    desc [N, 8] uint32, valid [N] bool; tree arrays as produced by the
+    loader/trainer. Returns (word [N] int32, weight [N] float32) or None if
+    the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    desc = np.ascontiguousarray(desc, np.uint32)
+    valid = np.ascontiguousarray(valid, np.uint8)
+    node_desc = np.ascontiguousarray(node_desc, np.uint32)
+    node_children = np.ascontiguousarray(node_children, np.int32)
+    node_weight = np.ascontiguousarray(node_weight, np.float32)
+    node_word = np.ascontiguousarray(node_word, np.int32)
+    n = len(desc)
+    out_word = np.empty(n, np.int32)
+    out_weight = np.empty(n, np.float32)
+    p = ctypes.c_void_p
+    lib.bow_transform(
+        desc.ctypes.data_as(p), valid.ctypes.data_as(p), n,
+        node_desc.ctypes.data_as(p), node_children.ctypes.data_as(p),
+        node_weight.ctypes.data_as(p), node_word.ctypes.data_as(p),
+        kb, depth,
+        out_word.ctypes.data_as(p), out_weight.ctypes.data_as(p),
+    )
+    return out_word, out_weight
+
+
+def vocab_train_native(descs, branching: int, depth: int, seed: int = 0,
+                       iters: int = 8):
+    """Hierarchical binary k-medians training in C++ (the DBoW2
+    construction). Returns (node_desc, children, node_word, leaf_count,
+    n_nodes, n_words) or None if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    descs = np.ascontiguousarray(descs, np.uint32)
+    m = len(descs)
+    max_nodes = sum(branching**l for l in range(depth + 1)) + 1
+    node_desc = np.zeros((max_nodes, 8), np.uint32)
+    children = np.zeros((max_nodes, branching), np.int32)
+    node_word = np.zeros(max_nodes, np.int32)
+    leaf_count = np.zeros(max_nodes, np.int32)
+    p = ctypes.c_void_p
+    n_nodes = lib.vocab_train(
+        descs.ctypes.data_as(p), m, branching, depth,
+        ctypes.c_uint32(seed), iters,
+        node_desc.ctypes.data_as(p), children.ctypes.data_as(p),
+        node_word.ctypes.data_as(p), leaf_count.ctypes.data_as(p),
+        max_nodes,
+    )
+    if n_nodes <= 0:
+        return None
+    n_nodes = int(n_nodes)
+    n_words = int((node_word[:n_nodes] >= 0).sum())
+    return (node_desc[:n_nodes], children[:n_nodes], node_word[:n_nodes],
+            leaf_count[:n_nodes], n_nodes, n_words)
 
 
 class NativeRingBuffer:

@@ -21,6 +21,8 @@
 #include <cstdio>
 #include <cstring>
 #include <mutex>
+#include <thread>
+#include <vector>
 
 #include <fcntl.h>
 #include <sys/mman.h>
@@ -107,6 +109,283 @@ int64_t vocab_load(const char* path, uint32_t* desc, int32_t* children,
          st.st_size);
   close(fd);
   return n_words;
+}
+
+// ---------------------------------------------------------------------------
+// BoW vocabulary-tree descent (TemplatedVocabulary::transform analogue).
+//
+// The per-keyframe hot path: ~1k descriptors walk a k-ary tree of up to
+// ~10^6 nodes. On the tunneled TPU each device dispatch costs ~1 ms and
+// contends with the tracker's per-frame program; natively this is ~0.5M
+// popcounts — well under a millisecond — so keyframe-rate BoW never touches
+// the device (reference runs it on the CPU too, KeyFrame::ComputeBoW).
+// ---------------------------------------------------------------------------
+
+static inline int hamming256(const uint32_t* a, const uint32_t* b) {
+  int d = 0;
+  for (int w = 0; w < 8; ++w) d += __builtin_popcount(a[w] ^ b[w]);
+  return d;
+}
+
+void bow_transform(const uint32_t* desc, const uint8_t* valid, int64_t n,
+                   const uint32_t* node_desc, const int32_t* children,
+                   const float* node_weight, const int32_t* node_word,
+                   int32_t kb, int32_t depth, int32_t* out_word,
+                   float* out_weight) {
+  for (int64_t i = 0; i < n; ++i) {
+    if (valid && !valid[i]) {
+      out_word[i] = -1;
+      out_weight[i] = 0.0f;
+      continue;
+    }
+    const uint32_t* d = desc + i * 8;
+    int32_t cur = 0;
+    for (int32_t lvl = 0; lvl < depth; ++lvl) {
+      const int32_t* ch = children + static_cast<int64_t>(cur) * kb;
+      if (ch[0] < 0) break;  // early leaf (small training cluster)
+      int best = ch[0];
+      int bestd = 1 << 30;
+      for (int32_t c = 0; c < kb && ch[c] >= 0; ++c) {
+        const int dist =
+            hamming256(d, node_desc + static_cast<int64_t>(ch[c]) * 8);
+        if (dist < bestd) {
+          bestd = dist;
+          best = ch[c];
+        }
+      }
+      cur = best;
+    }
+    out_word[i] = node_word[cur];
+    out_weight[i] = node_weight[cur];
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Hierarchical binary k-medians vocabulary training (DBoW2's construction:
+// k-means with bitwise-majority centroids — the mean under Hamming metric).
+// Deterministic under `seed`. Descriptors are packed uint32[8].
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct SplitMix64 {
+  uint64_t s;
+  explicit SplitMix64(uint64_t seed) : s(seed) {}
+  uint64_t next() {
+    uint64_t z = (s += 0x9e3779b97f4a7c15ULL);
+    z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ULL;
+    z = (z ^ (z >> 27)) * 0x94d049bb133111ebULL;
+    return z ^ (z >> 31);
+  }
+  // uniform in [0, n)
+  uint64_t below(uint64_t n) { return next() % n; }
+};
+
+// One k-medians pass over descs[idx[0..m)]. Writes up to k packed centers
+// and the final assignment; returns the surviving center count (empty
+// clusters dropped). Assignment runs on 2 threads (host has 2 cores).
+int32_t kmedians(const uint32_t* descs, const int64_t* idx, int64_t m,
+                 int32_t k, int iters, SplitMix64* rng, uint32_t* centers,
+                 int32_t* assign) {
+  if (m <= 0) return 0;
+  if (k > m) k = static_cast<int32_t>(m);
+  // Init: k distinct random members (deterministic).
+  {
+    // Reservoir-free distinct draw: sort-free, retry on collision.
+    int32_t got = 0;
+    while (got < k) {
+      const int64_t pick = idx[rng->below(static_cast<uint64_t>(m))];
+      bool dup = false;
+      for (int32_t c = 0; c < got; ++c) {
+        if (hamming256(centers + c * 8, descs + pick * 8) == 0) {
+          dup = true;
+          break;
+        }
+      }
+      if (!dup) {
+        memcpy(centers + got * 8, descs + pick * 8, 32);
+        ++got;
+      } else if (rng->below(8) == 0) {
+        // Duplicate-heavy cluster: accept fewer centers rather than spin.
+        break;
+      }
+    }
+    k = got;
+  }
+  if (k <= 1) {
+    for (int64_t i = 0; i < m; ++i) assign[i] = 0;
+    return k;
+  }
+
+  std::vector<int64_t> counts(k);
+  std::vector<int64_t> bitcnt(static_cast<size_t>(k) * 256);
+  for (int it = 0; it < iters; ++it) {
+    std::fill(counts.begin(), counts.end(), 0);
+    std::fill(bitcnt.begin(), bitcnt.end(), 0);
+
+    auto worker = [&](int64_t lo, int64_t hi, int64_t* cnts, int64_t* bits) {
+      for (int64_t i = lo; i < hi; ++i) {
+        const uint32_t* d = descs + idx[i] * 8;
+        int best = 0, bestd = 1 << 30;
+        for (int32_t c = 0; c < k; ++c) {
+          const int dist = hamming256(d, centers + c * 8);
+          if (dist < bestd) {
+            bestd = dist;
+            best = c;
+          }
+        }
+        assign[i] = best;
+        cnts[best]++;
+        int64_t* bc = bits + static_cast<int64_t>(best) * 256;
+        for (int w = 0; w < 8; ++w) {
+          uint32_t v = d[w];
+          while (v) {
+            const int b = __builtin_ctz(v);
+            bc[w * 32 + b]++;
+            v &= v - 1;
+          }
+        }
+      }
+    };
+
+    if (m > 65536) {
+      std::vector<int64_t> counts2(k, 0);
+      std::vector<int64_t> bitcnt2(static_cast<size_t>(k) * 256, 0);
+      const int64_t mid = m / 2;
+      std::thread t(worker, 0, mid, counts.data(), bitcnt.data());
+      worker(mid, m, counts2.data(), bitcnt2.data());
+      t.join();
+      for (int32_t c = 0; c < k; ++c) counts[c] += counts2[c];
+      for (size_t i = 0; i < bitcnt.size(); ++i) bitcnt[i] += bitcnt2[i];
+    } else {
+      worker(0, m, counts.data(), bitcnt.data());
+    }
+
+    // Majority-vote centroids; drop empty clusters.
+    int32_t k_new = 0;
+    bool changed = false;
+    for (int32_t c = 0; c < k; ++c) {
+      if (counts[c] == 0) {
+        changed = true;
+        continue;
+      }
+      uint32_t nc[8] = {0};
+      const int64_t* bc = bitcnt.data() + static_cast<int64_t>(c) * 256;
+      const int64_t half = counts[c];  // bit set iff 2*cnt >= count
+      for (int b = 0; b < 256; ++b)
+        if (2 * bc[b] >= half) nc[b / 32] |= 1u << (b % 32);
+      if (memcmp(nc, centers + c * 8, 32) != 0) changed = true;
+      memcpy(centers + k_new * 8, nc, 32);
+      ++k_new;
+    }
+    k = k_new;
+    if (!changed || k <= 1) break;
+  }
+  // Final assignment against the settled centers.
+  for (int64_t i = 0; i < m; ++i) {
+    const uint32_t* d = descs + idx[i] * 8;
+    int best = 0, bestd = 1 << 30;
+    for (int32_t c = 0; c < k; ++c) {
+      const int dist = hamming256(d, centers + c * 8);
+      if (dist < bestd) {
+        bestd = dist;
+        best = c;
+      }
+    }
+    assign[i] = best;
+  }
+  return k;
+}
+
+struct TrainState {
+  const uint32_t* descs;
+  int32_t kb, depth;
+  int iters;
+  uint32_t* node_desc;
+  int32_t* children;
+  int32_t* node_word;
+  int32_t* leaf_count;
+  int64_t max_nodes;
+  int64_t n_nodes;
+  int64_t n_words;
+  SplitMix64 rng;
+  std::vector<uint32_t> cbuf;
+  std::vector<int32_t> abuf;
+};
+
+// Recursive split; idx is reordered in place so children own contiguous
+// ranges. Returns false on node-capacity overflow.
+bool split_node(TrainState* ts, int32_t node, int64_t* idx, int64_t m,
+                int32_t level) {
+  if (level == ts->depth || m <= ts->kb) {
+    ts->node_word[node] = static_cast<int32_t>(ts->n_words++);
+    ts->leaf_count[node] = static_cast<int32_t>(m);
+    return true;
+  }
+  uint32_t* centers = ts->cbuf.data();
+  int32_t* assign = ts->abuf.data();
+  const int32_t k =
+      kmedians(ts->descs, idx, m, ts->kb, ts->iters, &ts->rng, centers, assign);
+  if (k <= 1) {  // degenerate cluster (all-identical descriptors)
+    ts->node_word[node] = static_cast<int32_t>(ts->n_words++);
+    ts->leaf_count[node] = static_cast<int32_t>(m);
+    return true;
+  }
+  // Partition idx by assignment (stable counting sort).
+  std::vector<int64_t> start(k + 1, 0);
+  for (int64_t i = 0; i < m; ++i) start[assign[i] + 1]++;
+  for (int32_t c = 0; c < k; ++c) start[c + 1] += start[c];
+  std::vector<int64_t> tmp(m);
+  {
+    std::vector<int64_t> pos(start.begin(), start.end() - 1);
+    for (int64_t i = 0; i < m; ++i) tmp[pos[assign[i]]++] = idx[i];
+  }
+  memcpy(idx, tmp.data(), sizeof(int64_t) * m);
+
+  // Create the child nodes first (ids allocated breadth-locally so parents
+  // always precede children, as the binary format requires).
+  std::vector<int32_t> child_ids(k);
+  for (int32_t c = 0; c < k; ++c) {
+    if (ts->n_nodes >= ts->max_nodes) return false;
+    const int32_t id = static_cast<int32_t>(ts->n_nodes++);
+    child_ids[c] = id;
+    memcpy(ts->node_desc + static_cast<int64_t>(id) * 8, centers + c * 8, 32);
+    ts->children[static_cast<int64_t>(node) * ts->kb + c] = id;
+  }
+  for (int32_t c = 0; c < k; ++c) {
+    if (!split_node(ts, child_ids[c], idx + start[c], start[c + 1] - start[c],
+                    level + 1))
+      return false;
+  }
+  return true;
+}
+
+}  // namespace
+
+// Trains a vocabulary tree over m packed descriptors. Fills node_desc
+// [max_nodes*8], children [max_nodes*kb] (-1 padded), node_word [max_nodes]
+// (-1 internal), leaf_count [max_nodes] (training descriptors per leaf, for
+// idf). Returns node count, or -1 on overflow.
+int64_t vocab_train(const uint32_t* descs, int64_t m, int32_t kb,
+                    int32_t depth, uint32_t seed, int32_t iters,
+                    uint32_t* node_desc, int32_t* children, int32_t* node_word,
+                    int32_t* leaf_count, int64_t max_nodes) {
+  if (m <= 0 || max_nodes < 1) return -1;
+  memset(children, 0xFF, sizeof(int32_t) * max_nodes * kb);
+  memset(node_word, 0xFF, sizeof(int32_t) * max_nodes);
+  memset(leaf_count, 0, sizeof(int32_t) * max_nodes);
+  memset(node_desc, 0, sizeof(uint32_t) * 8);
+
+  TrainState ts{descs,     kb,        depth,     iters,
+                node_desc, children,  node_word, leaf_count,
+                max_nodes, 1,         0,         SplitMix64(seed),
+                {},        {}};
+  ts.cbuf.resize(static_cast<size_t>(kb) * 8);
+  ts.abuf.resize(m);
+  std::vector<int64_t> idx(m);
+  for (int64_t i = 0; i < m; ++i) idx[i] = i;
+  if (!split_node(&ts, 0, idx.data(), m, 0)) return -1;
+  return ts.n_nodes;
 }
 
 // ---------------------------------------------------------------------------

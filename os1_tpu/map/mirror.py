@@ -27,6 +27,16 @@ import jax.numpy as jnp
 from .store import MapStore
 
 
+@jax.jit
+def _insert_row(kf_xy, kf_angle, kf_octave, kf_desc, k, xy, angle, octave, desc):
+    return (
+        kf_xy.at[k].set(xy),
+        kf_angle.at[k].set(angle),
+        kf_octave.at[k].set(octave),
+        kf_desc.at[k].set(desc),
+    )
+
+
 @dataclass
 class DeviceMirror:
     store: MapStore
@@ -106,6 +116,18 @@ class DeviceMirror:
         self.kf_angle = self.kf_angle.at[k].set(jnp.asarray(st.kf_angle[k]))
         self.kf_octave = self.kf_octave.at[k].set(jnp.asarray(st.kf_octave[k]))
         self.kf_desc = self.kf_desc.at[k].set(jnp.asarray(st.kf_desc[k]))
+
+    def insert_keyframe_row_device(self, k: int, frame) -> None:
+        """Publish a new keyframe row straight from the frame's
+        device-resident feature arrays — zero host<->device bytes (the frame
+        was extracted on device; the host store row materializes later on
+        the mapping worker)."""
+        self.kf_xy, self.kf_angle, self.kf_octave, self.kf_desc = (
+            _insert_row(self.kf_xy, self.kf_angle, self.kf_octave,
+                        self.kf_desc, jnp.int32(k), frame.xy_un,
+                        frame.feats.angle, frame.feats.octave,
+                        frame.feats.desc)
+        )
 
     def refresh_points(self) -> None:
         """Re-publish only the point block (pose-graph-free map events)."""

@@ -141,17 +141,34 @@ class MapStore:
     def add_keyframe(self, Tcw, feats_xy, feats_angle, feats_octave, feats_desc,
                      feats_valid, frame_id=0, timestamp=0.0) -> int:
         """Insert a keyframe from frame feature arrays. Returns its id."""
+        k = self.add_keyframe_pending(Tcw, frame_id=frame_id, timestamp=timestamp)
+        self.materialize_keyframe(
+            k, feats_xy, feats_angle, feats_octave, feats_desc, feats_valid
+        )
+        return k
+
+    def add_keyframe_pending(self, Tcw, frame_id=0, timestamp=0.0) -> int:
+        """Allocate a keyframe slot with pose/id/bindings only; the feature
+        arrays follow via :meth:`materialize_keyframe` (on the mapping worker
+        — the reference also defers the per-feature bookkeeping to
+        LocalMapping::ProcessNewKeyFrame, LocalMapping.cc:125-153, so the
+        tracking thread never blocks on a device readback)."""
         k = self.alloc_keyframe()
         self.kf_T[k] = np.asarray(Tcw, np.float32)
+        self.kf_feat_valid[k] = False
+        self.kf_obs_point[k] = -1
+        self.kf_frame_id[k] = frame_id
+        self.kf_timestamp[k] = timestamp
+        return k
+
+    def materialize_keyframe(self, k, feats_xy, feats_angle, feats_octave,
+                             feats_desc, feats_valid) -> None:
+        """Fill a pending keyframe's feature arrays (host side)."""
         self.kf_xy[k] = np.asarray(feats_xy, np.float32)
         self.kf_angle[k] = np.asarray(feats_angle, np.float32)
         self.kf_octave[k] = np.asarray(feats_octave, np.int32)
         self.kf_desc[k] = np.asarray(feats_desc, np.uint32)
         self.kf_feat_valid[k] = np.asarray(feats_valid, bool)
-        self.kf_obs_point[k] = -1
-        self.kf_frame_id[k] = frame_id
-        self.kf_timestamp[k] = timestamp
-        return k
 
     def add_observation(self, pt: int, kf: int, feat: int) -> None:
         """Bind point <-> (kf, feature) both ways (MapPoint::AddObservation +

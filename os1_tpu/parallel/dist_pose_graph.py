@@ -24,9 +24,10 @@ from ..optim.pose_graph import _edge_residual
 AXIS = "edges"
 
 
-def _assemble(S_cur, edge_i, edge_j, edge_S, edge_valid, kf_valid, fixed, lam):
+def _assemble(S_cur, edge_i, edge_j, edge_S, edge_valid):
     """Dense H/b for THIS shard's edges (same math as the single-device
-    optimize_pose_graph build_system, pose_graph.py:44-85)."""
+    optimize_pose_graph build_system, pose_graph.py:44-85). Damping and
+    gauge-fixing are applied by the caller AFTER the psum."""
     K = S_cur.shape[0]
     zero14 = jnp.zeros(14)
 
@@ -64,6 +65,9 @@ def _shard_cost(S_cur, edge_i, edge_j, edge_S, edge_valid):
     return jnp.sum(jax.vmap(one)(edge_i, edge_j, edge_S, edge_valid))
 
 
+_RUNNER_CACHE: dict = {}
+
+
 def make_distributed_pose_graph(mesh: Mesh, iters: int = 15, lam0: float = 1e-4):
     """Build a jitted edge-sharded pose-graph runner.
 
@@ -72,6 +76,14 @@ def make_distributed_pose_graph(mesh: Mesh, iters: int = 15, lam0: float = 1e-4)
     state replicated. Edge count must be divisible by the mesh size (pad
     with edge_valid=False slots).
     """
+    # Memoized per (mesh, iters, lam0): each closure owns a fresh jit cache,
+    # so rebuilding one per call would recompile the whole program (5-40 s on
+    # the tunneled TPU) every loop closure.
+    key = (tuple(mesh.devices.flat), mesh.axis_names, iters, lam0)
+    cached = _RUNNER_CACHE.get(key)
+    if cached is not None:
+        return cached
+
     ed = P(AXIS)
     rep = P()
 
@@ -81,9 +93,7 @@ def make_distributed_pose_graph(mesh: Mesh, iters: int = 15, lam0: float = 1e-4)
 
         def body(_, state):
             S_cur, lam, cost = state
-            H, b, _ = _assemble(
-                S_cur, edge_i, edge_j, edge_S, edge_valid, kf_valid, fixed, lam
-            )
+            H, b, _ = _assemble(S_cur, edge_i, edge_j, edge_S, edge_valid)
             # The one collective per iteration.
             H = jax.lax.psum(H, AXIS)
             b = jax.lax.psum(b, AXIS)
@@ -128,7 +138,9 @@ def make_distributed_pose_graph(mesh: Mesh, iters: int = 15, lam0: float = 1e-4)
         out_specs=rep,
         check_vma=False,
     )
-    return jax.jit(sharded)
+    runner = jax.jit(sharded)
+    _RUNNER_CACHE[key] = runner
+    return runner
 
 
 def distributed_pose_graph(

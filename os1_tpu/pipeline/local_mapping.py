@@ -155,15 +155,20 @@ def apply_global_ba(store: MapStore, cfg: SlamConfig, res, meta) -> None:
     in_prob_pt = np.zeros(store.cfg.max_points, bool)
     in_prob_pt[pts] = True
     others = np.nonzero(store.pt_valid & ~in_prob_pt)[0]
-    for p in others:
-        ref = int(store.pt_obs_kf[p, 0])
-        if ref < 0 or ref not in corrected or ref not in old_pose:
-            continue
-        T_old = old_pose[ref]
-        T_new = corrected[ref]
-        xc = T_old[:3, :3] @ store.pt_xyz[p] + T_old[:3, 3]
-        R, t = T_new[:3, :3], T_new[:3, 3]
-        store.pt_xyz[p] = R.T @ (xc - t)
+    if len(others):
+        # Batched per reference keyframe: every point created during the
+        # solve moves with its first observer's correction in one affine
+        # transform (LoopClosing.cc:724-748; O(points) Python loops here
+        # were seconds at 16k points).
+        refs = store.pt_obs_kf[others, 0]
+        for ref in np.unique(refs):
+            ref = int(ref)
+            if ref < 0 or ref not in corrected or ref not in old_pose:
+                continue
+            sel = others[refs == ref]
+            T_old, T_new = old_pose[ref], corrected[ref]
+            xc = store.pt_xyz[sel] @ T_old[:3, :3].T + T_old[:3, 3]
+            store.pt_xyz[sel] = (xc - T_new[:3, 3]) @ T_new[:3, :3]
 
     # Outlier erase for observations that stayed in the problem.
     inl = np.asarray(res.obs_inlier)[: len(pts)]
@@ -508,6 +513,7 @@ class LocalMapper:
         with self.timer("lm.fuse.apply"), self.lock:
             if st.epoch != epoch0:
                 return
+            touched = []
             for r, t in enumerate(rows):
                 ids = own if t != kf else fuse
                 c = code[r]
@@ -515,8 +521,16 @@ class LocalMapper:
                 slots = c >> 12
                 feats_m = c & 0xFFF
                 keep = slots < len(ids)
-                self._apply_fuse(t, ids, slots[keep], feats_m[keep])
-            touched = np.unique(np.concatenate([own, fuse])) if len(own) + len(fuse) else []
+                touched.append(self._apply_fuse(t, ids, slots[keep], feats_m[keep]))
+            # Refresh derived state ONLY for points whose observations
+            # actually changed (the matched ones). The reference refreshes
+            # the current keyframe's whole point set (LocalMapping.cc:424-444)
+            # but the refresh is a pure function of the observations, so
+            # untouched points are a no-op — and recomputing the [n, M, 256]
+            # descriptor-median for every CANDIDATE point (~8k rows) was the
+            # single largest host cost per keyframe (565 ms/KF).
+            touched = [t for t in touched if len(t)]
+            touched = np.unique(np.concatenate(touched)) if touched else []
             if len(touched):
                 touched = touched[st.pt_valid[touched]]
                 st.update_point_derived(touched, self.cfg.orb.scale_factor,
@@ -524,11 +538,12 @@ class LocalMapper:
             self._publish()
 
     def _apply_fuse(self, target: int, ids: np.ndarray, slots: np.ndarray,
-                    feats: np.ndarray) -> None:
+                    feats: np.ndarray) -> np.ndarray:
         """Merge matched duplicates into `target` (ORBmatcher::Fuse apply
         phase + MapPoint::Replace semantics, MapPoint.cc:132-175).
         slots index into ids (candidate point list); feats are the matched
-        target feature indices.
+        target feature indices. Returns the point ids whose observations
+        changed (new binds + both sides of every Replace).
 
         The common case — the matched feature slot is unbound, so the fuse is
         just a new observation — is applied as ONE batched bind; only true
@@ -536,7 +551,7 @@ class LocalMapper:
         keep-better-observed Replace path."""
         st = self.store
         if len(slots) == 0:
-            return
+            return np.empty(0, np.int64)
         p_all = ids[slots]
         f_all = feats
         live = st.pt_valid[p_all]
@@ -551,6 +566,7 @@ class LocalMapper:
         st.add_observations(
             p_all[simple], np.full(int(simple.sum()), target), f_all[simple]
         )
+        touched = [np.asarray(p_all[simple], np.int64)]
         for p, f in zip(p_all[~simple], f_all[~simple]):
             p = int(p)
             if not st.pt_valid[p]:
@@ -560,10 +576,14 @@ class LocalMapper:
                 # Duplicate: keep the better-observed point (Fuse semantics).
                 if st.pt_n_obs[e] >= st.pt_n_obs[p]:
                     st.replace_point(p, e)
+                    touched.append(np.array([e], np.int64))
                 else:
                     st.replace_point(e, p)
+                    touched.append(np.array([p], np.int64))
             elif e < 0:
                 st.add_observation(p, target, int(f))
+                touched.append(np.array([p], np.int64))
+        return np.concatenate(touched)
 
     # ------------------------------------------------------------------ #
     def cull_keyframes(self, kf: int) -> None:

@@ -57,6 +57,7 @@ class LoopCloser:
     lock: object = None  # threading.RLock | None
     mapping_worker: object = None
     on_map_updated: object = None  # callback() after async GBA writeback
+    timer: object = None  # StageTimer | None
 
     def __post_init__(self):
         self._key = jax.random.PRNGKey(7)
@@ -67,6 +68,10 @@ class LoopCloser:
             import contextlib
 
             self.lock = contextlib.nullcontext()
+        if self.timer is None:
+            from ..utils.profiling import StageTimer
+
+            self.timer = StageTimer()
 
     # ------------------------------------------------------------------ #
     def process(self, kf: int, kf_count: int) -> bool:
@@ -75,10 +80,12 @@ class LoopCloser:
         with self.lock:
             if not self.store.kf_valid[kf]:
                 return False  # culled before the loop thread got to it
-            candidates = self.detect(kf, kf_count)
+            with self.timer("loop.detect"):
+                candidates = self.detect(kf, kf_count)
             hits = []
             for cand in candidates:
-                ok, S_cl, matched_pts = self.compute_sim3(kf, int(cand))
+                with self.timer("loop.sim3"):
+                    ok, S_cl, matched_pts = self.compute_sim3(kf, int(cand))
                 if ok:
                     hits.append((int(cand), S_cl, matched_pts))
                     break
@@ -354,21 +361,21 @@ class LoopCloser:
             corr_S[i] = (T_ic @ S_cw_corr).astype(np.float32)
 
         # Correct the group's map points through their first observing
-        # group-keyframe (LoopClosing.cc:460-487).
-        corrected_pts = set()
+        # group-keyframe (LoopClosing.cc:460-487). Batched per keyframe:
+        # each keyframe's uncorrected points move through ONE pair of
+        # affine transforms instead of a per-point Python loop (seconds at
+        # reference point counts).
+        corrected = np.zeros(st.cfg.max_points, bool)
         for i in group:
             obs = st.kf_obs_point[i]
             pids = np.unique(obs[obs >= 0])
-            pids = pids[st.pt_valid[pids]]
-            S_old = sim3.from_se3(jnp.asarray(old_T[i]))
+            pids = pids[st.pt_valid[pids] & ~corrected[pids]]
+            if len(pids) == 0:
+                continue
+            corrected[pids] = True
             S_new_inv = np.asarray(sim3.inverse(jnp.asarray(corr_S[i])))
-            for p in pids:
-                if int(p) in corrected_pts:
-                    continue
-                corrected_pts.add(int(p))
-                xc = old_T[i][:3, :3] @ st.pt_xyz[p] + old_T[i][:3, 3]
-                xw = S_new_inv[:3, :3] @ xc + S_new_inv[:3, 3]
-                st.pt_xyz[p] = xw
+            xc = st.pt_xyz[pids] @ old_T[i][:3, :3].T + old_T[i][:3, 3]
+            st.pt_xyz[pids] = xc @ S_new_inv[:3, :3].T + S_new_inv[:3, 3]
         # Update group keyframe poses to the (scale-normalized) corrections.
         for i in group:
             st.kf_T[i] = np.asarray(sim3.to_se3(jnp.asarray(corr_S[i])))
@@ -456,30 +463,29 @@ class LoopCloser:
                 iters=20,
             )
         )
-        # Write back poses and remap all points via their reference KF.
+        # Write back poses and remap all points via their reference KF —
+        # batched per keyframe (one affine transform over its uncorrected
+        # points), matching Optimizer.cc:833-861's per-point remap.
         new_T = np.asarray(sim3.to_se3(jnp.asarray(S_opt)))
-        pt_done = set()
+        pt_done = np.zeros(st.cfg.max_points, bool)
         for i in live:
             i = int(i)
             obs = st.kf_obs_point[i]
             pids = np.unique(obs[obs >= 0])
-            pids = pids[st.pt_valid[pids]]
+            pids = pids[st.pt_valid[pids] & ~pt_done[pids]]
+            if len(pids) == 0:
+                continue
+            pt_done[pids] = True
             S_old_i = sim3.from_se3(jnp.asarray(old_pose_all[i]))
             corr = np.asarray(
                 sim3.inverse(jnp.asarray(S_opt[i])) @ jnp.asarray(S_old_i)
             )
-            for p in pids:
-                p = int(p)
-                if p in pt_done:
-                    continue
-                pt_done.add(p)
-                xh = np.append(st.pt_xyz[p], 1.0)
-                st.pt_xyz[p] = (corr @ xh)[:3]
+            st.pt_xyz[pids] = st.pt_xyz[pids] @ corr[:3, :3].T + corr[:3, 3]
         st.kf_T[live] = new_T[live]
 
         self.loop_edges.append((min(kf, cand), max(kf, cand)))
         st.update_point_derived(
-            np.array(sorted(pt_done), np.int64),
+            np.nonzero(pt_done)[0],
             self.cfg.orb.scale_factor, self.cfg.orb.n_levels,
         )
 

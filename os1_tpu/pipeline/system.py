@@ -78,11 +78,14 @@ class System:
         )
         self.loop_closer = LoopCloser(
             cfg=self.cfg, store=self.store, db=self.db, lock=self.lock,
-            on_map_updated=self._publish_after_gba,
+            on_map_updated=self._publish_after_gba, timer=self.timer,
         )
         self.mapper.on_cull_keyframe = self.db.erase
         self.tracker.on_reset = self._on_reset
         self._kf_count = 0
+        # Keyframes created by the tracker whose feature arrays are still
+        # device-resident, awaiting worker-side materialization (kf -> FrameData).
+        self._pending_frames = {}
 
         self.mapping_worker = None
         self.loop_worker = None
@@ -94,7 +97,7 @@ class System:
             self.mapping_worker = MappingWorker(
                 self.mapper,
                 self.lock,
-                on_process=self._worker_bow,
+                on_process=self._worker_prepare,
                 on_pass_done=self._worker_pass_done,
                 loop_worker=self.loop_worker,
             )
@@ -110,22 +113,31 @@ class System:
             self.loop_worker.request_reset()
         self.db.clear()
         self._kf_count = 0
+        self._pending_frames.clear()
         self.mirror.refresh()
 
-    def _on_new_keyframe(self, kf: int, bootstrap: bool = False):
+    def _on_new_keyframe(self, kf: int, bootstrap: bool = False, frame=None):
         self._kf_count += 1
+        if frame is not None:
+            # Deferred keyframe: feature arrays still on device; the mapping
+            # worker materializes them (_worker_prepare). The mirror row
+            # inserts device-to-device — zero transfer on the tracking thread.
+            self._pending_frames[kf] = frame
         if self.mapping_worker is not None:
             # Async: publish the new keyframe row to the mirror so the very
             # next frame can track against it, then queue the heavy work.
             with self.timer("mirror.refresh"):
-                self.mirror.insert_keyframe_row(kf)
+                if frame is not None:
+                    self.mirror.insert_keyframe_row_device(kf, frame)
+                else:
+                    self.mirror.insert_keyframe_row(kf)
                 self.mirror.refresh_dynamic()
             if self.enable_mapping:
                 self.mapping_worker.insert_keyframe(kf, bootstrap=bootstrap)
             else:
-                self._worker_bow(kf)  # keep the reloc database current
+                self._worker_prepare(kf)  # keep the reloc database current
             return
-        self._worker_bow(kf)
+        self._worker_prepare(kf)
         if self.enable_mapping:
             self.mapper.process(kf, bootstrap=bootstrap)
             if self.enable_loop_closing and not bootstrap:
@@ -135,7 +147,12 @@ class System:
             self.mirror.insert_keyframe_row(kf)
             self.mirror.refresh_dynamic()
 
-    def _worker_bow(self, kf: int):
+    def _worker_prepare(self, kf: int):
+        """Pre-pass for a queued keyframe, ON the mapping worker: materialize
+        the deferred feature arrays (one device readback — the reference's
+        ProcessNewKeyFrame bookkeeping, LocalMapping.cc:125-153) and compute
+        its BoW vector for the place-recognition database."""
+        self._materialize_kf(kf)
         st = self.store
         with self.timer("bow.compute"):
             with self.lock:
@@ -143,10 +160,31 @@ class System:
                     return
                 desc = st.kf_desc[kf].copy()
                 valid = st.kf_feat_valid[kf].copy()
-            _, _, bow = self.db.compute_bow(desc, valid)  # device, unlocked
+            _, _, bow = self.db.compute_bow(desc, valid)  # native host descent
             with self.lock:
                 if st.kf_valid[kf]:
                     self.db.add(kf, bow)
+
+    def _materialize_kf(self, kf: int):
+        frame = self._pending_frames.pop(kf, None)
+        if frame is None:
+            return
+        from .frame import unpack_host
+
+        with self.timer("lm.materialize"):
+            pack = np.asarray(frame.host_pack)  # readback OFF tracking thread
+            with self.lock:
+                if not self.store.kf_valid[kf]:
+                    return
+                self.store.materialize_keyframe(kf, *unpack_host(pack))
+                # Normal/scale/descriptor refresh for the points this
+                # keyframe observes (ProcessNewKeyFrame, LocalMapping.cc:
+                # 134-147) — deferred here together with the arrays it needs.
+                obs = self.store.kf_obs_point[kf]
+                pts = np.unique(obs[obs >= 0])
+                self.store.update_point_derived(
+                    pts, self.cfg.orb.scale_factor, self.cfg.orb.n_levels
+                )
 
     def _worker_pass_done(self, kf: int):
         with self.timer("mirror.refresh"), self.lock:

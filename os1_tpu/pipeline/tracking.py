@@ -654,28 +654,22 @@ class Tracker:
         if int((~st.kf_valid).sum()) == 0:
             return
         with self.timer("trk.create_kf"):
-            from .frame import unpack_host
-
-            # ONE device readback for all five frame arrays (each separate
-            # d2h costs ~9 ms over the tunnel).
-            xy_un, angle, octave, desc, valid = unpack_host(
-                np.asarray(frame.host_pack)
-            )
-            k = st.add_keyframe(
-                self.last.Tcw, xy_un, angle, octave, desc, valid,
-                frame_id=fid, timestamp=timestamp,
+            # Pose + bindings only: the feature arrays stay ON DEVICE and
+            # materialize on the mapping worker (System._worker_prepare) —
+            # the reference defers the same per-feature bookkeeping to
+            # LocalMapping::ProcessNewKeyFrame (LocalMapping.cc:125-153), so
+            # the tracking thread never blocks on a device readback here.
+            k = st.add_keyframe_pending(
+                self.last.Tcw, frame_id=fid, timestamp=timestamp
             )
             f_idx = np.nonzero(bind >= 0)[0]
             p_ids = bind[f_idx]
             live = st.pt_valid[p_ids]
             st.add_observations(p_ids[live], np.full(int(live.sum()), k), f_idx[live])
-            st.update_point_derived(
-                np.unique(p_ids[live]), self.cfg.orb.scale_factor, self.cfg.orb.n_levels
-            )
             self.ref_kf = k
             self.last_kf_frame_id = fid
         if self.on_new_keyframe is not None:
-            self.on_new_keyframe(k)
+            self.on_new_keyframe(k, frame=frame)
 
     # ------------------------------------------------------------------ #
     def _relocalize(self, frame, fid, timestamp):

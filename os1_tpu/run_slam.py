@@ -75,10 +75,15 @@ def main(argv=None):
         from .io.datasets import open_sequence
 
         cfg = load_slam_config(args.settings)
-        if args.sequence is None:
+        if args.sequence is None and not args.warmup:
+            # --warmup needs only the config (it builds the System and
+            # compiles every device program); a sequence is required for
+            # actual tracking.
             print("no sequence given", file=sys.stderr)
             return 2
-        if args.sequence.isdigit():
+        if args.sequence is None:
+            seq = iter(())  # --warmup: no frames to track
+        elif args.sequence.isdigit():
             from .io.video import VideoSource
 
             src = VideoSource(int(args.sequence))

@@ -67,23 +67,55 @@ class KeyFrameDatabase:
         self.bows = [None] * self.max_keyframes
         # Inverted file: word -> {kf: weight} (mvInvertedFile analogue).
         self.inverted: dict[int, dict[int, float]] = {}
+        self._host_tree = None  # lazy host copy of the vocabulary arrays
+
+    def _host_vocab(self):
+        """Host-resident copies of the tree arrays, fetched ONCE. The tree
+        may live in TPU HBM; per-call device_get over the tunnel costs
+        ~150 ms while the native descent itself is ~0.3 ms."""
+        if self._host_tree is None:
+            # One array at a time: batched tuple device_get hangs over the
+            # tunneled-TPU transport (observed on axon; single-array
+            # transfers are fine).
+            self._host_tree = tuple(
+                np.asarray(a) for a in (
+                    self.vocab.node_desc, self.vocab.node_children,
+                    self.vocab.node_weight, self.vocab.node_word,
+                )
+            )
+        return self._host_tree
 
     # ------------------------------------------------------------------ #
     def compute_bow(self, desc, valid):
         """(word ids [N], weights [N], SparseBow) for one frame's
-        descriptors — the vocabulary-tree descent runs on device, the
-        sparse aggregation on host."""
-        import jax.numpy as jnp
+        descriptors. The vocabulary-tree descent is keyframe-rate host work
+        (the reference runs it on the CPU too, KeyFrame::ComputeBoW) — it
+        runs in the native library (~0.3 ms/KF at 10^4 words) so it never
+        contends with the tracker's device programs; the JAX descent is the
+        fallback when the native library is unavailable."""
+        from ..native import bow_transform_native
 
-        word, weight = tree._descend(
-            self.vocab.node_desc, self.vocab.node_children,
-            self.vocab.node_word, self.vocab.node_weight,
-            jnp.asarray(desc), self.vocab.depth,
-        )
-        word, weight = jax.device_get((word, weight))  # one batched readback
         valid = np.asarray(valid)
-        word = np.where(valid, word, -1)
-        weight = np.where(valid, weight, 0.0)
+        if not isinstance(desc, np.ndarray):
+            desc = jax.device_get(desc)
+        nd, nc, nw, nwo = self._host_vocab()
+        out = bow_transform_native(
+            desc, valid, nd, nc, nw, nwo, self.vocab.branching,
+            self.vocab.depth,
+        )
+        if out is not None:
+            word, weight = out
+        else:
+            import jax.numpy as jnp
+
+            word, weight = tree._descend(
+                self.vocab.node_desc, self.vocab.node_children,
+                self.vocab.node_word, self.vocab.node_weight,
+                jnp.asarray(desc), self.vocab.depth,
+            )
+            word, weight = jax.device_get((word, weight))
+            word = np.where(valid, word, -1)
+            weight = np.where(valid, weight, 0.0)
         return word, weight, _sparse_from_transform(word, weight)
 
     def add(self, kf: int, bow: SparseBow) -> None:

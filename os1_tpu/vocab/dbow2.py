@@ -75,10 +75,10 @@ def load_binary(path: str) -> Vocabulary:
     if loaded is not None:
         desc, children, weight, word, n_words, kb, L = loaded
         return Vocabulary(
-            node_desc=jnp.asarray(desc),
-            node_children=jnp.asarray(children),
-            node_weight=jnp.asarray(weight),
-            node_word=jnp.asarray(word),
+            node_desc=np.asarray(desc),
+            node_children=np.asarray(children),
+            node_weight=np.asarray(weight),
+            node_word=np.asarray(word),
             n_words=n_words,
             branching=kb,
             depth=L,
@@ -110,10 +110,10 @@ def load_binary(path: str) -> Vocabulary:
             w += 1
 
     return Vocabulary(
-        node_desc=jnp.asarray(node_desc),
-        node_children=jnp.asarray(node_children),
-        node_weight=jnp.asarray(node_weight),
-        node_word=jnp.asarray(node_word),
+        node_desc=np.asarray(node_desc),
+        node_children=np.asarray(node_children),
+        node_weight=np.asarray(node_weight),
+        node_word=np.asarray(node_word),
         n_words=w,
         branching=int(k),
         depth=int(L),

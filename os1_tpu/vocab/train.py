@@ -121,10 +121,10 @@ def build_vocabulary(
             w += 1
 
     return Vocabulary(
-        node_desc=jnp.asarray(np.stack(node_desc)),
-        node_children=jnp.asarray(children),
-        node_weight=jnp.asarray(weight),
-        node_word=jnp.asarray(word_id),
+        node_desc=np.asarray(np.stack(node_desc)),
+        node_children=np.asarray(children),
+        node_weight=np.asarray(weight),
+        node_word=np.asarray(word_id),
         n_words=w,
         branching=kb,
         depth=depth,
@@ -177,10 +177,10 @@ def build_vocabulary_native(
         )
 
     return Vocabulary(
-        node_desc=jnp.asarray(node_desc),
-        node_children=jnp.asarray(children),
-        node_weight=jnp.asarray(weight),
-        node_word=jnp.asarray(node_word),
+        node_desc=np.asarray(node_desc),
+        node_children=np.asarray(children),
+        node_weight=np.asarray(weight),
+        node_word=np.asarray(node_word),
         n_words=n_words,
         branching=branching,
         depth=depth,

@@ -24,12 +24,17 @@ from ..ops import hamming
 
 class Vocabulary(NamedTuple):
     """Flat general-tree vocabulary (supports both trained and DBoW2-loaded
-    trees; node 0 is the root and has no descriptor)."""
+    trees; node 0 is the root and has no descriptor).
 
-    node_desc: jnp.ndarray  # [n_nodes, 8] uint32
-    node_children: jnp.ndarray  # [n_nodes, kb] int32, -1 padded
-    node_weight: jnp.ndarray  # [n_nodes] float32 (idf; 0 for non-leaves)
-    node_word: jnp.ndarray  # [n_nodes] int32 word id, -1 for non-leaves
+    Arrays are HOST numpy: the per-keyframe tree descent runs natively on
+    the host (native/os1native.cpp bow_transform — the reference computes
+    BoW on the CPU too, KeyFrame::ComputeBoW); jitted device fallbacks
+    accept numpy operands and convert at dispatch."""
+
+    node_desc: "np.ndarray"  # [n_nodes, 8] uint32
+    node_children: "np.ndarray"  # [n_nodes, kb] int32, -1 padded
+    node_weight: "np.ndarray"  # [n_nodes] float32 (idf; 0 for non-leaves)
+    node_word: "np.ndarray"  # [n_nodes] int32 word id, -1 for non-leaves
     n_words: int
     branching: int
     depth: int

@@ -121,6 +121,7 @@ def main():
                     "ok_fraction": round(n_ok / len(frames), 3),
                     "n_keyframes": sys_.store.n_keyframes(),
                     "n_points": sys_.store.n_points(),
+                    "n_loops_closed": sys_.loop_closer.n_loops_closed,
                     "stage_ms_per_call": stage_ms,
                     "platform": str(jax.devices()[0]),
                 },

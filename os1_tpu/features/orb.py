@@ -106,16 +106,22 @@ def _brief_pattern(seed: int) -> np.ndarray:
     return np.clip(pts, -BRIEF_RADIUS, BRIEF_RADIUS).astype(np.float32)
 
 
-def _rotated_offset_table(seed: int, row_stride: int) -> np.ndarray:
-    """[N_ORIENT, 256*2] int32: FLAT-IMAGE offsets (dy * row_stride + dx) of
-    every BRIEF sample for each discrete pattern orientation, nearest-pixel
-    rounded.
+PS = 32  # keypoint patch size (covers the radius-15 orientation disc and
+#          the +-14 nearest-pixel rotated BRIEF samples); 32 = one TPU lane
+#          tile, so per-patch reductions stay aligned
+_PC = 15  # patch center (row/col of the keypoint inside its patch)
 
-    The steered pattern is precomputed per orientation bin — sampling a
-    descriptor is then ONE flat gather per keypoint straight from the blurred
-    pyramid stack, no per-keypoint patch materialization (this is also how
-    OpenCV's ORB steers BRIEF: nearest-pixel reads of a rotated pattern,
-    ORBextractor.cc computeOrbDescriptor)."""
+
+def _rotated_patch_table(seed: int) -> np.ndarray:
+    """[N_ORIENT, 256*2] int32: PATCH-LOCAL flat offsets (row * PS + col) of
+    every BRIEF sample for each discrete pattern orientation, nearest-pixel
+    rounded (this is also how OpenCV's ORB steers BRIEF: nearest-pixel reads
+    of a rotated pattern, ORBextractor.cc computeOrbDescriptor).
+
+    The steered pattern is precomputed per orientation bin; descriptors are
+    sampled from per-keypoint 32x32 patches with one-hot MXU matmuls —
+    random flat gathers from the pyramid stack cost ~3x more than the
+    patch materialization + matmuls on TPU (profile_patch.py)."""
     pat = _brief_pattern(seed)  # [256, 2, 2] (x, y)
     r = BRIEF_RADIUS + 1
     tables = []
@@ -124,9 +130,9 @@ def _rotated_offset_table(seed: int, row_stride: int) -> np.ndarray:
         c, s = np.cos(th), np.sin(th)
         x = pat[..., 0] * c - pat[..., 1] * s
         y = pat[..., 0] * s + pat[..., 1] * c
-        xi = np.clip(np.round(x), -r, r).astype(np.int64)
-        yi = np.clip(np.round(y), -r, r).astype(np.int64)
-        tables.append((yi * row_stride + xi).reshape(-1))
+        xi = np.clip(np.round(x), -r, r).astype(np.int64) + _PC
+        yi = np.clip(np.round(y), -r, r).astype(np.int64) + _PC
+        tables.append((yi * PS + xi).reshape(-1))
     return np.stack(tables).astype(np.int32)
 
 
@@ -139,22 +145,15 @@ def _ic_weights(patch: int = PATCH) -> tuple[np.ndarray, np.ndarray]:
     return (xs * disc).astype(np.float32), (ys * disc).astype(np.float32)
 
 
-def _ic_offsets_strided(row_stride: int, stride: int = 2):
-    """Strided intensity-centroid sample set: (flat offsets [S], wx [S],
-    wy [S]) over the radius-15 orientation disc, sampled every ``stride``
-    pixels. The moments are computed on the sigma=2 blurred image, which is
-    band-limited well below the stride-2 Nyquist rate, so the strided sums
-    track the reference's dense disc (IC_Angle, ORBextractor.cc:86-113) to
-    well under the 5.6-degree orientation bin width — at 1/4 the gather
-    traffic."""
-    r = PATCH // 2
-    ys, xs = np.mgrid[-r : r + 1 : stride, -r : r + 1 : stride]
-    disc = (xs * xs + ys * ys) <= r * r
-    keep = disc.reshape(-1)
-    off = (ys * row_stride + xs).reshape(-1)[keep]
-    wx = xs.reshape(-1)[keep].astype(np.float32)
-    wy = ys.reshape(-1)[keep].astype(np.float32)
-    return off.astype(np.int32), wx, wy
+def _ic_patch_weights() -> tuple[np.ndarray, np.ndarray]:
+    """Dense x-/y-moment weight masks [PS, PS] over the radius-15
+    orientation disc centered at the patch center — the reference's full
+    IC_Angle disc (ORBextractor.cc:86-113), evaluated as two [PS*PS] dot
+    products per patch (free on the VPU once the patch is materialized)."""
+    ys, xs = np.mgrid[0:PS, 0:PS]
+    dy, dx = ys - _PC, xs - _PC
+    disc = (dx * dx + dy * dy) <= (PATCH // 2) ** 2
+    return (dx * disc).astype(np.float32), (dy * disc).astype(np.float32)
 
 
 @functools.lru_cache(maxsize=8)
@@ -175,9 +174,9 @@ def make_extractor(cfg: OrbConfig):
     Ry, Rx = (jnp.asarray(a) for a in image.pyramid_matrices(cfg.height, cfg.width, sizes))
     hb = jnp.asarray(np.array([h for h, _ in sizes], np.int32))
     wb = jnp.asarray(np.array([w for _, w in sizes], np.int32))
-    ic_off, ic_wx, ic_wy = _ic_offsets_strided(cfg.width)
-    ic_off, ic_wx, ic_wy = jnp.asarray(ic_off), jnp.asarray(ic_wx), jnp.asarray(ic_wy)
-    sample_table = jnp.asarray(_rotated_offset_table(cfg.seed, cfg.width))
+    wx_np, wy_np = _ic_patch_weights()
+    ic_wx, ic_wy = jnp.asarray(wx_np.reshape(-1)), jnp.asarray(wy_np.reshape(-1))
+    sample_table = jnp.asarray(_rotated_patch_table(cfg.seed))
 
     @jax.jit
     def extract(img: jnp.ndarray) -> FrameFeatures:
@@ -199,8 +198,16 @@ def make_extractor(cfg: OrbConfig):
             scores, cfg.cell, cfg.k_per_cell, n_max
         )  # [L, n_max, ...]
 
-        lvl = jax.lax.broadcasted_iota(jnp.int32, (L, n_max), 0).reshape(-1)
-        xy_f = xy.reshape(-1, 2)
+        # Per-level budget selection FIRST: the orientation/descriptor
+        # stages below run on exactly n_features lanes, not L * n_max (the
+        # unselected ~1.8x padding lanes were paying the same patch and
+        # sampling cost as real keypoints).
+        xy_o = jnp.concatenate([xy[l, : budgets[l]] for l in range(L)], axis=0)
+        resp_o = jnp.concatenate([resp[l, : budgets[l]] for l in range(L)], 0)
+        val_o = jnp.concatenate([valid[l, : budgets[l]] for l in range(L)], 0)
+        oct_o = jnp.concatenate(
+            [jnp.full(budgets[l], l, jnp.int32) for l in range(L)], 0
+        )
 
         # The blurred stack feeds BOTH the orientation moments and the
         # descriptor samples (the blur is isotropic, so the intensity-
@@ -208,55 +215,59 @@ def make_extractor(cfg: OrbConfig):
         # before BRIEF too, ORBextractor.cc:898). Level edges are replicated
         # into the stack padding first so the blur cannot bleed zeros into
         # border samples on the upper levels. Keypoints sit >= BORDER from
-        # their level bounds, so every sample below stays inside level
-        # content; sampling is direct FLAT gathers from the stack — no
-        # per-keypoint patch materialization (the vmapped dynamic-slice
-        # version cost ~6 ms/frame on TPU, ~3x all the gathers here).
+        # their level bounds, so one 32x32 patch per keypoint covers the
+        # orientation disc and every rotated BRIEF sample; the patches are
+        # materialized with vmapped dynamic_slice — ~3x cheaper than random
+        # flat gathers from the stack on TPU (profile_patch.py).
         blurred = image.gaussian_blur(image.replicate_level_edges(pyr, hb, wb))
-        flat = blurred.reshape(-1)
-        size = flat.shape[0]
-        H, W = cfg.height, cfg.width
-        cx = jnp.round(xy_f[:, 0]).astype(jnp.int32)
-        cy = jnp.round(xy_f[:, 1]).astype(jnp.int32)
-        base = (lvl * H + cy) * W + cx  # flat index of each keypoint center
+        cx = jnp.round(xy_o[:, 0]).astype(jnp.int32)
+        cy = jnp.round(xy_o[:, 1]).astype(jnp.int32)
 
-        # Orientation: strided intensity-centroid disc (see _ic_offsets_strided).
-        s_or = flat[jnp.clip(base[:, None] + ic_off[None, :], 0, size - 1)]
-        m10 = s_or @ ic_wx
-        m01 = s_or @ ic_wy
-        angle = jnp.arctan2(m01, m10)  # [L*n_max]
+        def one_patch(l, y, x):
+            return jax.lax.dynamic_slice(
+                blurred, (l, y - _PC, x - _PC), (1, PS, PS)
+            )[0]
 
-        # Descriptors: steered BRIEF via the precomputed per-orientation
-        # nearest-pixel flat-offset table — one gather per keypoint.
+        patches = jax.vmap(one_patch)(oct_o, cy, cx)  # [N, PS, PS]
+        pflat = patches.reshape(-1, PS * PS)
+
+        # Orientation: dense intensity-centroid disc as two dot products.
+        m10 = pflat @ ic_wx
+        m01 = pflat @ ic_wy
+        angle = jnp.arctan2(m01, m10)  # [N]
+
+        # Descriptors: steered BRIEF via the per-orientation patch-local
+        # sample table; the 512 samples per keypoint are picked with one-hot
+        # MXU matmuls (row select) + a masked column sum — no gathers.
         two_pi = 2.0 * jnp.pi
         abin = (
             jnp.round(jnp.mod(angle, two_pi) * (N_ORIENT / two_pi)).astype(jnp.int32)
             % N_ORIENT
         )
-        samples = flat[jnp.clip(base[:, None] + sample_table[abin], 0, size - 1)]
+        idx = sample_table[abin]  # [N, 512] patch-flat sample indices
+        ir, ic = idx // PS, idx % PS
+        lanes = jnp.arange(PS, dtype=jnp.int32)
+        # Row-select via MXU: T[n, s, c] = patches[n, ir[n, s], c]. bf16 is
+        # exact for the one-hot side; the blurred intensities round at
+        # 2^-8 relative — flipping only BRIEF comparisons of near-equal
+        # pixels, far below sensor noise.
+        ohr = (ir[:, :, None] == lanes).astype(jnp.bfloat16)
+        T = jnp.einsum(
+            "nsr,nrc->nsc", ohr, patches.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        samples = jnp.sum(
+            jnp.where(ic[:, :, None] == lanes, T, 0.0), axis=-1
+        )  # [N, 512]
         samples = samples.reshape(-1, hamming.BITS, 2)
-        desc = hamming.pack_bits(samples[..., 0] < samples[..., 1])
+        desc_o = hamming.pack_bits(samples[..., 0] < samples[..., 1])
 
-        # Per-level budget selection: lane [l, :budgets[l]], concatenated.
-        angle = angle.reshape(L, n_max)
-        desc = desc.reshape(L, n_max, -1)
-        outs = []
-        for l in range(L):
-            b = budgets[l]
-            outs.append((
-                xy[l, :b] * scales[l],
-                resp[l, :b],
-                angle[l, :b],
-                jnp.full(b, l, dtype=jnp.int32),
-                desc[l, :b],
-                valid[l, :b],
-            ))
-        xy_o, resp_o, ang_o, oct_o, desc_o, val_o = (
-            jnp.concatenate([o[i] for o in outs], axis=0) for i in range(6)
+        scale_per_lane = jnp.concatenate(
+            [jnp.full(budgets[l], scales[l], jnp.float32) for l in range(L)], 0
         )
         return FrameFeatures(
-            xy=xy_o, response=resp_o, angle=ang_o, octave=oct_o,
-            desc=desc_o, valid=val_o,
+            xy=xy_o * scale_per_lane[:, None], response=resp_o, angle=angle,
+            octave=oct_o, desc=desc_o, valid=val_o,
         )
 
     return extract

@@ -29,10 +29,15 @@ def triangulate_dlt(P1: jnp.ndarray, P2: jnp.ndarray, x1: jnp.ndarray, x2: jnp.n
     x1, x2: (..., 2) point coordinates in the respective images.
     Returns (..., 3) triangulated points in world/homogeneous frame.
 
-    Solves the 4x4 homogeneous system with the eigenvector of A^T A for the
-    smallest eigenvalue — equivalent to the reference's SVD row (vt.row(3),
-    Initializer.cc:742-750) but uses the symmetric 4x4 eigendecomposition,
-    which is batched and cheap on TPU.
+    Inhomogeneous DLT: fix the homogeneous coordinate w = 1 and solve the
+    3x3 normal equations B X = -b (B = A[:, :3], b = A[:, 3]) by Cramer's
+    rule — pure elementwise arithmetic. The reference solves the 4x4
+    homogeneous system by SVD (vt.row(3), Initializer.cc:742-750); the
+    difference only matters for points AT infinity (w -> 0), which every
+    caller rejects anyway (parallax/cheirality gates; low-parallax far
+    points are routed along rays, not through this solve). A batched 4x4
+    eigh here cost ~30 ms per keyframe event on TPU — the iterative eigen
+    solver is the one linear-algebra primitive the MXU hates.
     """
     rows = jnp.stack(
         [
@@ -43,13 +48,33 @@ def triangulate_dlt(P1: jnp.ndarray, P2: jnp.ndarray, x1: jnp.ndarray, x2: jnp.n
         ],
         axis=-2,
     )  # (..., 4, 4)
-    AtA = jnp.swapaxes(rows, -1, -2) @ rows
-    # Smallest-eigenvalue eigenvector of a symmetric 4x4.
-    _, vecs = jnp.linalg.eigh(AtA)
-    X = vecs[..., :, 0]
-    w = X[..., 3]
-    safe_w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
-    return X[..., :3] / safe_w[..., None]
+    B = rows[..., :3]  # (..., 4, 3)
+    b = rows[..., 3]  # (..., 4)
+    G = jnp.swapaxes(B, -1, -2) @ B  # (..., 3, 3) Gram matrix
+    rhs = -jnp.einsum("...ri,...r->...i", B, b)  # (..., 3)
+    # Cramer via the adjugate (all elementwise; no LU, no eigh).
+    c00 = G[..., 1, 1] * G[..., 2, 2] - G[..., 1, 2] * G[..., 2, 1]
+    c01 = G[..., 0, 2] * G[..., 2, 1] - G[..., 0, 1] * G[..., 2, 2]
+    c02 = G[..., 0, 1] * G[..., 1, 2] - G[..., 0, 2] * G[..., 1, 1]
+    c10 = G[..., 1, 2] * G[..., 2, 0] - G[..., 1, 0] * G[..., 2, 2]
+    c11 = G[..., 0, 0] * G[..., 2, 2] - G[..., 0, 2] * G[..., 2, 0]
+    c12 = G[..., 0, 2] * G[..., 1, 0] - G[..., 0, 0] * G[..., 1, 2]
+    c20 = G[..., 1, 0] * G[..., 2, 1] - G[..., 1, 1] * G[..., 2, 0]
+    c21 = G[..., 0, 1] * G[..., 2, 0] - G[..., 0, 0] * G[..., 2, 1]
+    c22 = G[..., 0, 0] * G[..., 1, 1] - G[..., 0, 1] * G[..., 1, 0]
+    det = (
+        G[..., 0, 0] * c00 + G[..., 0, 1] * c10 + G[..., 0, 2] * c20
+    )
+    safe_det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([c00, c01, c02], axis=-1),
+            jnp.stack([c10, c11, c12], axis=-1),
+            jnp.stack([c20, c21, c22], axis=-1),
+        ],
+        axis=-2,
+    )  # (..., 3, 3)
+    return jnp.einsum("...ij,...j->...i", adj, rhs) / safe_det[..., None]
 
 
 class TriangulationCheck(NamedTuple):

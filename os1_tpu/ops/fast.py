@@ -29,32 +29,36 @@ CIRCLE = np.array(
 ARC = 9  # contiguous run length for FAST-9
 
 
-def _ring_stack(img: jnp.ndarray) -> jnp.ndarray:
-    """[..., H, W] -> [16, ..., H, W]: neighbor intensity at each circle
-    offset (leading axes, e.g. a pyramid-level stack, pass through).
+def _ring_views(img: jnp.ndarray) -> list:
+    """[..., H, W] -> 16 shifted views (neighbor intensity at each circle
+    offset; leading axes, e.g. a pyramid-level stack, pass through).
 
-    Implemented with static pad+slice (no gather): each offset is a shifted
-    view, which XLA fuses into the comparison that follows.
-    """
+    A Python LIST of lazy pad+slice views, not a stacked [16, ...] array:
+    stacking materializes ~40 MB per pyramid stack and every roll of it in
+    HBM; as separate views XLA fuses all ring reads into the elementwise
+    min/max chain that follows — one pass over the image."""
     h, w = img.shape[-2], img.shape[-1]
     pad = [(0, 0)] * (img.ndim - 2) + [(3, 3), (3, 3)]
     padded = jnp.pad(img, pad, mode="edge")
-    views = [
+    return [
         padded[..., 3 + dy : 3 + dy + h, 3 + dx : 3 + dx + w] for dx, dy in CIRCLE
     ]
-    return jnp.stack(views, axis=0)
 
 
-def _arc_min9(x: jnp.ndarray) -> jnp.ndarray:
+def _arc_min9(x: list) -> jnp.ndarray:
     """Min over every circular window of ARC=9 consecutive ring positions,
-    maxed over the 16 window starts. Doubling trick: the window-min of length
-    9 is built from mins of lengths 1,2,4,8 in 4 elementwise passes instead
-    of materializing a [16, 9, H, W] window stack."""
-    m2 = jnp.minimum(x, jnp.roll(x, -1, axis=0))
-    m4 = jnp.minimum(m2, jnp.roll(m2, -2, axis=0))
-    m8 = jnp.minimum(m4, jnp.roll(m4, -4, axis=0))
-    m9 = jnp.minimum(m8, jnp.roll(x, -8, axis=0))
-    return jnp.max(m9, axis=0)  # [H, W]
+    maxed over the 16 window starts. Doubling trick on the unrolled list:
+    window-min of length 9 from mins of lengths 1,2,4,8 — 64 fused
+    elementwise mins, no [16, 9, H, W] window stack."""
+    n = len(x)
+    m2 = [jnp.minimum(x[k], x[(k + 1) % n]) for k in range(n)]
+    m4 = [jnp.minimum(m2[k], m2[(k + 2) % n]) for k in range(n)]
+    m8 = [jnp.minimum(m4[k], m4[(k + 4) % n]) for k in range(n)]
+    m9 = [jnp.minimum(m8[k], x[(k + 8) % n]) for k in range(n)]
+    out = m9[0]
+    for k in range(1, n):
+        out = jnp.maximum(out, m9[k])
+    return out  # [..., H, W]
 
 
 def fast_margin(img: jnp.ndarray, bounds=None) -> jnp.ndarray:
@@ -71,9 +75,10 @@ def fast_margin(img: jnp.ndarray, bounds=None) -> jnp.ndarray:
     # 0-255 intensities the quantization error is <= 1 gray level, well under
     # the FAST thresholds (margins only rank corners for top-k selection).
     img = img.astype(jnp.bfloat16)
-    ring = _ring_stack(img)  # [16, ..., H, W]
+    ring = _ring_views(img)  # 16 lazy shifted views
     margin = jnp.maximum(
-        _arc_min9(ring - img[None]), _arc_min9(img[None] - ring)
+        _arc_min9([r - img for r in ring]),
+        _arc_min9([img - r for r in ring]),
     ).astype(jnp.float32)
     # Kill the 3px border (ring reads clamp there and are meaningless).
     h, w = img.shape[-2], img.shape[-1]

@@ -28,6 +28,99 @@ MIN_TOTAL_MATCHES = 40  # LoopClosing.cc:387
 CONSISTENCY_TH = 3  # LoopClosing.cc:53 mnCovisibilityConsistencyTh
 SIM3_CAP = 512  # padded match capacity (variable shapes would recompile)
 PROJ_CAP = 4096  # padded loop-region point capacity for guided projection
+# Essential-graph edge-count buckets (compile once per bucket; exact edge
+# counts differ on every closure).
+_EDGE_BUCKETS = np.array([256, 1024, 4096, 16384])
+
+
+@jax.jit
+def _sim3_candidate_program(
+    # current keyframe (1): features + camera-frame coords of bound points
+    desc1, bound1, angle1, xy1, oct1, feat_valid1, xyz1,
+    # loop candidate keyframe (2)
+    desc2, bound2, angle2, xy2, oct2, xyz2,
+    # loop-region map points for the guided-projection gate
+    region_desc, region_xyz, region_ok,
+    T_lw, intr, sigma2_table, key,
+):
+    """The WHOLE ComputeSim3 pipeline for one loop candidate as ONE device
+    program (LoopClosing.cc:234-405): BoW-gated feature matching -> Horn
+    Sim3 RANSAC -> Sim3 LM refinement -> guided projection of the loop
+    region through the corrected pose. The unfused version ran 4 dispatches
+    with a host sync each — ~4 tunnel round trips per candidate, all under
+    the map lock; here the host uploads snapshots, gets back one small
+    result, and holds no lock while the device runs.
+
+    Returns (head [35] float32: success, n_match, n_total, n_inliers,
+    S12 flat 16, padding; f1 [SIM3_CAP]; f2 [SIM3_CAP]; pair_ok [SIM3_CAP]).
+    """
+    from ..features.orb import FrameFeatures
+    from ..matching import matchers
+
+    N = desc1.shape[0]
+    cap = min(SIM3_CAP, N)  # small-N configs (tests) have N < SIM3_CAP
+    res = _match_bound_features(desc1, bound1, angle1, desc2, bound2, angle2)
+    n_match = jnp.sum(res.ok)
+
+    # First `cap` matched features, in feature order (fixed shape).
+    order = jnp.where(res.ok, N - jnp.arange(N, dtype=jnp.int32), 0)
+    vals, f1 = jax.lax.top_k(order, cap)
+    msel = vals > 0
+    f1 = jnp.where(msel, f1, 0)
+    f2 = jnp.where(msel, res.idx[f1], 0)
+
+    zero = jnp.zeros((cap, 1), jnp.float32)
+    x1 = jnp.where(msel[:, None], xyz1[f1], zero)
+    x2 = jnp.where(msel[:, None], xyz2[f2], zero)
+    uv1 = jnp.where(msel[:, None], xy1[f1], zero)
+    uv2 = jnp.where(msel[:, None], xy2[f2], zero)
+    s2_1 = jnp.where(msel, sigma2_table[oct1[f1]], 1.0)
+    s2_2 = jnp.where(msel, sigma2_table[oct2[f2]], 1.0)
+
+    ransac = solve_sim3(
+        x1, x2, msel, uv1, uv2, s2_1, s2_2, intr, key,
+        min_inliers=MIN_INLIERS_SIM3,
+    )
+    opt = optimize_sim3(
+        ransac.S12, x1, x2, ransac.inliers & msel, uv1, uv2, s2_1, s2_2, intr
+    )
+
+    # Guided projection acceptance (LoopClosing.cc:341-389): project the
+    # loop region's points into the current KF through the corrected pose
+    # and count descriptor-consistent matches.
+    S_cw = opt.S12 @ T_lw
+    pc = region_xyz @ S_cw[:3, :3].T + S_cw[:3, 3]
+    ok_depth = (pc[:, 2] > 0.05) & region_ok
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+    z = jnp.where(jnp.abs(pc[:, 2]) < 1e-8, 1e-8, pc[:, 2])
+    uv = jnp.stack([fx * pc[:, 0] / z + cx, fy * pc[:, 1] / z + cy], 1)
+    feats = FrameFeatures(
+        xy=xy1, response=jnp.zeros(N), angle=angle1, octave=oct1,
+        desc=desc1, valid=feat_valid1,
+    )
+    P = region_desc.shape[0]
+    proj = matchers.search_by_projection(
+        point_desc=region_desc, point_uv=uv, point_valid=ok_depth,
+        point_octave=jnp.zeros(P, jnp.int32), feats=feats,
+        radius=jnp.full(P, 8.0), ratio=1.0, max_dist=mcore.TH_LOW,
+        octave_lo=-8, octave_hi=8,
+    )
+    n_total = jnp.sum(proj.ok)
+
+    success = (
+        (n_match >= MIN_MATCHES_SIM3)
+        & ransac.success
+        & (opt.n_inliers >= MIN_INLIERS_SIM3)
+        & (n_total >= MIN_TOTAL_MATCHES)
+    )
+    head = jnp.zeros(35, jnp.float32)
+    head = head.at[0].set(success.astype(jnp.float32))
+    head = head.at[1].set(n_match.astype(jnp.float32))
+    head = head.at[2].set(n_total.astype(jnp.float32))
+    head = head.at[3].set(opt.n_inliers.astype(jnp.float32))
+    head = head.at[4:20].set(opt.S12.reshape(-1))
+    pair_ok = opt.inliers & msel
+    return head, f1.astype(jnp.int32), f2.astype(jnp.int32), pair_ok
 
 
 @jax.jit
@@ -82,27 +175,41 @@ class LoopCloser:
                 return False  # culled before the loop thread got to it
             with self.timer("loop.detect"):
                 candidates = self.detect(kf, kf_count)
-            hits = []
-            for cand in candidates:
-                with self.timer("loop.sim3"):
-                    ok, S_cl, matched_pts = self.compute_sim3(kf, int(cand))
-                if ok:
-                    hits.append((int(cand), S_cl, matched_pts))
-                    break
+            # Snapshot the per-candidate inputs under the lock; the Sim3
+            # evaluation itself (one device program per candidate) runs
+            # UNLOCKED — the tracker needs this lock every frame, and the
+            # old in-lock evaluation was its largest p99 stall.
+            snaps = [
+                (int(c), self._snapshot_sim3(kf, int(c)))
+                for c in candidates[:3]
+            ]
+            epoch0 = self.store.epoch
+        hits = []
+        for cand, snap in snaps:
+            with self.timer("loop.sim3"):
+                ok, S_cl, matched_pts = self._eval_sim3(snap)
+            if ok:
+                hits.append((cand, S_cl, matched_pts))
+                break
         if not hits:
             return False
+        with self.lock:
+            if self.store.epoch != epoch0:
+                return False  # system reset while the device ran
         cand, S_cl, matched_pts = hits[0]
         # A running global BA belongs to a previous (now superseded) loop:
         # abort and join it before correcting (LoopClosing.cc:416-425).
-        self._abort_running_gba()
+        with self.timer("loop.gba_abort"):
+            self._abort_running_gba()
         # Quiesce local mapping before mutating the whole map — without this
         # barrier a mapper stage dispatched on pre-loop poses would write
         # back over the corrected ones (LoopClosing.cc:413-431 semantics).
-        if self.mapping_worker is not None:
-            self.mapping_worker.request_stop()
-            self.mapping_worker.wait_stopped(timeout=60.0)
+        with self.timer("loop.stop_barrier"):
+            if self.mapping_worker is not None:
+                self.mapping_worker.request_stop()
+                self.mapping_worker.wait_stopped(timeout=60.0)
         try:
-            with self.lock:
+            with self.timer("loop.correct"), self.lock:
                 if self.store.kf_valid[kf] and self.store.kf_valid[cand]:
                     self.correct(kf, cand, S_cl, matched_pts)
                     self.last_loop_kf = kf_count
@@ -189,7 +296,15 @@ class LoopCloser:
         scores = [self.db.score_kf(bow_kf, int(n)) for n in neighbors]
         min_score = float(min(scores)) if scores else 0.0
 
-        exclude = np.concatenate([[kf], neighbors])
+        # Exclude EVERY keyframe sharing at least one point with kf — the
+        # reference's spConnectedKeyFrames is the full weight map, not the
+        # >=15 covisibility list (KeyFrame::GetConnectedKeyFrames;
+        # KeyFrameDatabase.cc:78-96). Excluding only strong covisibles lets
+        # weak-overlap TRAILING keyframes through as "loop" candidates on a
+        # straight trajectory — false closures that cost a full correction +
+        # essential graph + GBA each.
+        connected = np.nonzero(st.covisibility_weights(kf) > 0)[0]
+        exclude = np.concatenate([[kf], connected])
         cands = self.db.detect_loop_candidates(
             bow_kf, exclude=exclude, min_score=min_score,
             covis_fn=lambda k: st.covisible_keyframes(k, top=10),
@@ -218,128 +333,61 @@ class LoopCloser:
         return np.array(accepted, np.int64)
 
     # ------------------------------------------------------------------ #
-    def compute_sim3(self, kf: int, cand: int):
-        """ComputeSim3 (LoopClosing.cc:234-405) for one candidate. Returns
-        (ok, S_cl Sim3 cand-camera -> kf-camera, matched pair array
-        [N, 2] (kf_feat, cand_feat))."""
+    def _snapshot_sim3(self, kf: int, cand: int) -> dict:
+        """Host-side input snapshot for one loop candidate, taken under the
+        map lock (fancy-indexed copies; ~300 KB). xyz1/xyz2 are the
+        CAMERA-frame coordinates of the point bound to each feature (garbage
+        for unbound features — the program gates on bound masks)."""
         st = self.store
         obs1 = st.kf_obs_point[kf]
         obs2 = st.kf_obs_point[cand]
         bound1 = (obs1 >= 0) & st.pt_valid[np.clip(obs1, 0, None)]
         bound2 = (obs2 >= 0) & st.pt_valid[np.clip(obs2, 0, None)]
-        res = _match_bound_features(
-            jnp.asarray(st.kf_desc[kf]), jnp.asarray(bound1),
-            jnp.asarray(st.kf_angle[kf]),
-            jnp.asarray(st.kf_desc[cand]), jnp.asarray(bound2),
-            jnp.asarray(st.kf_angle[cand]),
-        )
-        ok_np = np.asarray(res.ok)
-        if ok_np.sum() < MIN_MATCHES_SIM3:
-            return False, None, None
-        idx_np = np.asarray(res.idx)
-        f1 = np.nonzero(ok_np)[0][:SIM3_CAP]
-        f2 = idx_np[f1]
-        p1 = obs1[f1]
-        p2 = obs2[f2]
+        T1, T2 = st.kf_T[kf], st.kf_T[cand]
+        xyz1 = st.pt_xyz[np.clip(obs1, 0, None)] @ T1[:3, :3].T + T1[:3, 3]
+        xyz2 = st.pt_xyz[np.clip(obs2, 0, None)] @ T2[:3, :3].T + T2[:3, 3]
 
-        # Camera-frame coordinates of the matched points in both frames,
-        # padded to a FIXED capacity (variable lengths would recompile the
-        # Sim3 solvers on every candidate).
-        n = len(f1)
-        pad = SIM3_CAP - n
-        T1 = st.kf_T[kf]
-        T2 = st.kf_T[cand]
-        x1 = np.zeros((SIM3_CAP, 3), np.float32)
-        x2 = np.zeros((SIM3_CAP, 3), np.float32)
-        x1[:n] = st.pt_xyz[p1] @ T1[:3, :3].T + T1[:3, 3]
-        x2[:n] = st.pt_xyz[p2] @ T2[:3, :3].T + T2[:3, 3]
-        uv1 = np.zeros((SIM3_CAP, 2), np.float32)
-        uv2 = np.zeros((SIM3_CAP, 2), np.float32)
-        uv1[:n] = st.kf_xy[kf, f1]
-        uv2[:n] = st.kf_xy[cand, f2]
-        s2_1 = np.ones(SIM3_CAP, np.float32)
-        s2_2 = np.ones(SIM3_CAP, np.float32)
-        s2_1[:n] = self.cfg.sigma2_table[st.kf_octave[kf, f1]]
-        s2_2[:n] = self.cfg.sigma2_table[st.kf_octave[cand, f2]]
-        mask = np.arange(SIM3_CAP) < n
-
-        self._key, sub = jax.random.split(self._key)
-        ransac = solve_sim3(
-            jnp.asarray(x1), jnp.asarray(x2),
-            jnp.asarray(mask),
-            jnp.asarray(uv1), jnp.asarray(uv2),
-            jnp.asarray(s2_1), jnp.asarray(s2_2),
-            self._intr, sub, min_inliers=MIN_INLIERS_SIM3,
-        )
-        if not bool(ransac.success):
-            return False, None, None
-
-        opt = optimize_sim3(
-            ransac.S12,
-            jnp.asarray(x1), jnp.asarray(x2),
-            ransac.inliers & jnp.asarray(mask),
-            jnp.asarray(uv1), jnp.asarray(uv2),
-            jnp.asarray(s2_1), jnp.asarray(s2_2),
-            self._intr,
-        )
-        if int(opt.n_inliers) < MIN_INLIERS_SIM3:
-            return False, None, None
-
-        inl = np.asarray(opt.inliers)[:n]
-        # Guided projection acceptance: project loop-region points into the
-        # current KF through the corrected pose and count total agreement
-        # (LoopClosing.cc:341-389 SearchByProjection >= 40).
-        S_cl = np.asarray(opt.S12)
-        n_total = self._count_projected_matches(kf, cand, S_cl)
-        if n_total < MIN_TOTAL_MATCHES:
-            return False, None, None
-        pairs = np.stack([f1[inl], f2[inl]], axis=1)
-        return True, S_cl, pairs
-
-    def _count_projected_matches(self, kf: int, cand: int, S_cl: np.ndarray) -> int:
-        """Project the loop region's map points into the current keyframe via
-        the Sim3-corrected pose and count descriptor-consistent matches."""
-        st = self.store
+        # Loop-region map points (cand + its covisible neighborhood) for the
+        # guided-projection gate (LoopClosing.cc:341-389).
         region = [cand] + [int(k) for k in st.covisible_keyframes(cand, top=10)]
         pts = st.kf_obs_point[region]
         pts = np.unique(pts[pts >= 0])
         pts = pts[st.pt_valid[pts]][:PROJ_CAP]
-        if len(pts) == 0:
-            return 0
         n_real = len(pts)
         pts = np.concatenate([pts, np.zeros(PROJ_CAP - n_real, np.int64)])
-        T_lw = st.kf_T[cand]
-        S_cw = S_cl @ T_lw  # corrected world -> current-camera (Sim3)
-        pc = st.pt_xyz[pts] @ S_cw[:3, :3].T + S_cw[:3, 3]
-        ok_depth = (pc[:, 2] > 0.05) & (np.arange(PROJ_CAP) < n_real)
-        fx, fy, cx, cy = self.cfg.intr
-        z = np.where(np.abs(pc[:, 2]) < 1e-8, 1e-8, pc[:, 2])
-        uv = np.stack([fx * pc[:, 0] / z + cx, fy * pc[:, 1] / z + cy], 1)
-        from ..matching import matchers
-        from ..features.orb import FrameFeatures
+        return dict(
+            desc1=st.kf_desc[kf].copy(), bound1=bound1,
+            angle1=st.kf_angle[kf].copy(), xy1=st.kf_xy[kf].copy(),
+            oct1=st.kf_octave[kf].copy(),
+            feat_valid1=st.kf_feat_valid[kf].copy(),
+            xyz1=xyz1.astype(np.float32),
+            desc2=st.kf_desc[cand].copy(), bound2=bound2,
+            angle2=st.kf_angle[cand].copy(), xy2=st.kf_xy[cand].copy(),
+            oct2=st.kf_octave[cand].copy(), xyz2=xyz2.astype(np.float32),
+            region_desc=st.pt_desc[pts], region_xyz=st.pt_xyz[pts],
+            region_ok=np.arange(PROJ_CAP) < n_real,
+            T_lw=T2.astype(np.float32),
+        )
 
-        n_feat = self.cfg.orb.n_features
-        feats = FrameFeatures(
-            xy=jnp.asarray(st.kf_xy[kf]),
-            response=jnp.zeros(n_feat),
-            angle=jnp.asarray(st.kf_angle[kf]),
-            octave=jnp.asarray(st.kf_octave[kf]),
-            desc=jnp.asarray(st.kf_desc[kf]),
-            valid=jnp.asarray(st.kf_feat_valid[kf]),
+    def _eval_sim3(self, snap: dict):
+        """ComputeSim3 (LoopClosing.cc:234-405) for one snapshotted
+        candidate: ONE device dispatch, one readback, no lock held. Returns
+        (ok, S_cl Sim3 cand-camera -> kf-camera, matched pair array
+        [N, 2] (kf_feat, cand_feat))."""
+        self._key, sub = jax.random.split(self._key)
+        head, f1, f2, pair_ok = jax.device_get(
+            _sim3_candidate_program(
+                **{k: jnp.asarray(v) for k, v in snap.items()},
+                intr=self._intr,
+                sigma2_table=jnp.asarray(self.cfg.sigma2_table),
+                key=sub,
+            )
         )
-        P = len(pts)
-        res = matchers.search_by_projection(
-            point_desc=jnp.asarray(st.pt_desc[pts]),
-            point_uv=jnp.asarray(uv.astype(np.float32)),
-            point_valid=jnp.asarray(ok_depth),
-            point_octave=jnp.zeros(P, jnp.int32),
-            feats=feats,
-            radius=jnp.full(P, 8.0),
-            ratio=1.0,
-            max_dist=mcore.TH_LOW,
-            octave_lo=-8, octave_hi=8,
-        )
-        return int(np.asarray(res.ok).sum())
+        if head[0] < 0.5:
+            return False, None, None
+        S_cl = head[4:20].reshape(4, 4).astype(np.float32)
+        pairs = np.stack([f1[pair_ok], f2[pair_ok]], axis=1)
+        return True, S_cl, pairs
 
     # ------------------------------------------------------------------ #
     def correct(self, kf: int, cand: int, S_cl: np.ndarray, pairs: np.ndarray):
@@ -452,17 +500,29 @@ class LoopCloser:
         old_pose_all = {int(i): st.kf_T[int(i)].copy() for i in live}
         old_pose_all.update({i: corr_S[i] for i in group})
 
-        S_opt = np.asarray(
-            optimize_pose_graph(
-                jnp.asarray(S_nodes),
-                jnp.asarray(st.kf_valid),
-                jnp.asarray(fixed),
-                jnp.asarray(ei), jnp.asarray(ej),
-                jnp.asarray(eS.astype(np.float32)),
-                jnp.ones(len(ei), bool),
-                iters=20,
-            )
+        # Pad the edge arrays to a bucket size: the edge count differs on
+        # every closure and an exact-shape call would recompile the whole
+        # pose-graph program each time (5-40 s on the tunneled TPU).
+        E = len(ei)
+        E_pad = _EDGE_BUCKETS[np.searchsorted(_EDGE_BUCKETS, E)]
+        evalid = np.arange(E_pad) < E
+        ei = np.concatenate([ei, np.zeros(E_pad - E, np.int32)])
+        ej = np.concatenate([ej, np.zeros(E_pad - E, np.int32)])
+        eS = np.concatenate(
+            [eS, np.tile(np.eye(4, dtype=np.float32), (E_pad - E, 1, 1))]
         )
+        with self.timer("loop.essential"):
+            S_opt = np.asarray(
+                optimize_pose_graph(
+                    jnp.asarray(S_nodes),
+                    jnp.asarray(st.kf_valid),
+                    jnp.asarray(fixed),
+                    jnp.asarray(ei), jnp.asarray(ej),
+                    jnp.asarray(eS.astype(np.float32)),
+                    jnp.asarray(evalid),
+                    iters=20,
+                )
+            )
         # Write back poses and remap all points via their reference KF —
         # batched per keyframe (one affine transform over its uncorrected
         # points), matching Optimizer.cc:833-861's per-point remap.

@@ -300,45 +300,39 @@ class System:
         self.mapper.warmup()
 
         if include_loop:
-            from ..solvers.sim3_solver import solve_sim3
-            from ..optim.sim3_opt import optimize_sim3
             from ..optim.pose_graph import optimize_pose_graph
-            from .loop_closing import PROJ_CAP, SIM3_CAP, _match_bound_features
-            from ..matching import matchers
-            from ..features.orb import FrameFeatures
-
-            jax.block_until_ready(_match_bound_features(
-                jnp.zeros((N, 8), jnp.uint32), jnp.zeros(N, bool), jnp.zeros(N),
-                jnp.zeros((N, 8), jnp.uint32), jnp.zeros(N, bool), jnp.zeros(N),
-            ).idx)
-            x = jnp.ones((SIM3_CAP, 3)).at[:, 2].set(5.0)
-            uv = jnp.full((SIM3_CAP, 2), 100.0)
-            s2 = jnp.ones(SIM3_CAP)
-            r = solve_sim3(x, x, jnp.ones(SIM3_CAP, bool), uv, uv, s2, s2,
-                           intr, jrandom.PRNGKey(1), min_inliers=20)
-            jax.block_until_ready(optimize_sim3(
-                r.S12, x, x, r.inliers, uv, uv, s2, s2, intr
-            ).S12)
-            K_cap = self.store.cfg.max_keyframes
-            jax.block_until_ready(optimize_pose_graph(
-                jnp.tile(jnp.eye(4), (K_cap, 1, 1)),
-                jnp.ones(K_cap, bool), jnp.zeros(K_cap, bool).at[0].set(True),
-                jnp.zeros(2, jnp.int32), jnp.ones(2, jnp.int32),
-                jnp.tile(jnp.eye(4), (2, 1, 1)), jnp.ones(2, bool), iters=20,
-            ))
-            feats = FrameFeatures(
-                xy=frame.xy_un, response=jnp.zeros(N), angle=jnp.zeros(N),
-                octave=jnp.zeros(N, jnp.int32),
-                desc=jnp.zeros((N, 8), jnp.uint32), valid=jnp.zeros(N, bool),
+            from .loop_closing import (
+                _EDGE_BUCKETS, PROJ_CAP, _sim3_candidate_program,
             )
-            jax.block_until_ready(matchers.search_by_projection(
-                point_desc=jnp.zeros((PROJ_CAP, 8), jnp.uint32),
-                point_uv=jnp.full((PROJ_CAP, 2), 100.0),
-                point_valid=jnp.zeros(PROJ_CAP, bool),
-                point_octave=jnp.zeros(PROJ_CAP, jnp.int32),
-                feats=feats, radius=jnp.full(PROJ_CAP, 8.0), ratio=1.0,
-                max_dist=50, octave_lo=-8, octave_hi=8,
-            ).idx)
+
+            # The fused per-candidate Sim3 program (match + RANSAC + LM +
+            # guided projection in one dispatch).
+            zd = jnp.zeros((N, 8), jnp.uint32)
+            zb = jnp.zeros(N, bool)
+            zf = jnp.zeros(N)
+            z2 = jnp.zeros((N, 2))
+            z3 = jnp.ones((N, 3)).at[:, 2].set(5.0)
+            jax.block_until_ready(_sim3_candidate_program(
+                zd, zb, zf, z2, jnp.zeros(N, jnp.int32), zb, z3,
+                zd, zb, zf, z2, jnp.zeros(N, jnp.int32), z3,
+                jnp.zeros((PROJ_CAP, 8), jnp.uint32),
+                jnp.ones((PROJ_CAP, 3)).at[:, 2].set(5.0),
+                jnp.zeros(PROJ_CAP, bool),
+                eye, intr, jnp.asarray(cfg.sigma2_table), jrandom.PRNGKey(1),
+            )[0])
+            # Essential graph at its first two edge buckets (closures pad to
+            # bucket shapes; larger buckets only occur on very dense maps).
+            K_cap = self.store.cfg.max_keyframes
+            for E_pad in _EDGE_BUCKETS[:2]:
+                E_pad = int(E_pad)
+                jax.block_until_ready(optimize_pose_graph(
+                    jnp.tile(jnp.eye(4), (K_cap, 1, 1)),
+                    jnp.ones(K_cap, bool),
+                    jnp.zeros(K_cap, bool).at[0].set(True),
+                    jnp.zeros(E_pad, jnp.int32), jnp.ones(E_pad, jnp.int32),
+                    jnp.tile(jnp.eye(4), (E_pad, 1, 1)),
+                    jnp.zeros(E_pad, bool).at[:2].set(True), iters=20,
+                ))
         return _time.time() - t0
 
     # ------------------------------------------------------------------ #

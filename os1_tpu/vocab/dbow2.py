@@ -124,13 +124,21 @@ _DEFAULT_CACHE = None
 
 
 def default_vocabulary() -> Vocabulary:
-    """The packaged default vocabulary (trained on synthetic textures,
-    os1_tpu/data/default_vocab.bin); trains and caches one if absent."""
+    """The packaged default vocabulary. Prefers the reference-scale tree
+    (data/vocab_100k.bin, k=10 L=5, ~10^5 words — the analogue of the
+    reference's orbVoc.bin, trained by scripts/train_vocab.py); falls back
+    to the small texture-trained default (data/default_vocab.bin, ~10^4
+    words), training one if absent."""
     global _DEFAULT_CACHE
     if _DEFAULT_CACHE is not None:
         return _DEFAULT_CACHE
     import os
 
+    data_dir = os.path.join(os.path.dirname(__file__), "..", "data")
+    big = os.path.abspath(os.path.join(data_dir, "vocab_100k.bin"))
+    if os.path.exists(big):
+        _DEFAULT_CACHE = load_binary(big)
+        return _DEFAULT_CACHE
     path = os.path.join(os.path.dirname(__file__), "..", "data", "default_vocab.bin")
     path = os.path.abspath(path)
     if not os.path.exists(path):

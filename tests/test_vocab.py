@@ -158,3 +158,77 @@ class TestDatabase:
         db.erase(3)
         ids, _ = db.query(v)
         assert len(ids) == 0
+
+
+class TestDatabaseAtScale:
+    """Place-recognition precision with a 500+-keyframe database — the
+    regime the reference's inverted file is built for (resizeInvertedFile,
+    KeyFrameDatabase.cc:337). Uses the packaged vocabulary (the
+    reference-scale data/vocab_100k.bin when present)."""
+
+    N_KF = 512
+    N_SCENE = 64  # distinct "places"; 8 keyframes re-observe each place
+
+    @pytest.fixture(scope="class")
+    def big_db(self):
+        vocab = dbow2.default_vocabulary()
+        rng = np.random.default_rng(42)
+        db = KeyFrameDatabase(vocab, max_keyframes=self.N_KF)
+        scene_desc = rng.integers(
+            0, 2**32, size=(self.N_SCENE, 256, 8), dtype=np.uint32
+        )
+        bows = []
+        for k in range(self.N_KF):
+            place = k % self.N_SCENE
+            d = scene_desc[place].copy()
+            # Each revisit sees ~15% different descriptors + noise.
+            repl = rng.choice(256, 38, replace=False)
+            d[repl] = rng.integers(0, 2**32, size=(38, 8), dtype=np.uint32)
+            _, _, v = db.compute_bow(d, np.ones(256, bool))
+            db.add(k, v)
+            bows.append(v)
+        return db, bows
+
+    def test_query_precision(self, big_db):
+        """Top-1 retrieval must find a keyframe of the SAME place; measured
+        over every 8th keyframe to keep runtime bounded."""
+        db, bows = big_db
+        hits = 0
+        probes = list(range(0, self.N_KF, 8))
+        for k in probes:
+            ids, scores = db.query(bows[k], exclude=np.array([k]))
+            assert len(ids) >= 1
+            hits += int(ids[0]) % self.N_SCENE == k % self.N_SCENE
+        precision = hits / len(probes)
+        assert precision > 0.9, f"top-1 place precision {precision:.2f}"
+
+    def test_inverted_file_is_sparse(self, big_db):
+        """Query touches only keyframes sharing words — the inverted file
+        must not degenerate into scoring every keyframe (the whole point of
+        KeyFrameDatabase.cc:74's shared-word counting)."""
+        db, bows = big_db
+        # With >=10^4 words and 256-word bows, a random query must share
+        # words with far fewer than all keyframes unless places repeat.
+        n_words = db.vocab.n_words
+        assert n_words >= 5000
+        probe = bows[0]
+        sharing = set()
+        for w in probe.words:
+            sharing.update(db.inverted.get(int(w), {}).keys())
+        assert len(sharing) < self.N_KF  # not all-pairs
+
+    def test_loop_protocol_excludes_connected(self, big_db):
+        """detect_loop_candidates honors exclusion + relative-score gates at
+        scale."""
+        db, bows = big_db
+        k = 8  # same place as keyframes 8, 72, 136, ...
+        same_place = [i for i in range(self.N_KF)
+                      if i % self.N_SCENE == k % self.N_SCENE and i != k]
+        cands = db.detect_loop_candidates(
+            bows[k], exclude=np.array([k] + same_place[:3]),
+            min_score=0.01, covis_fn=lambda j: np.array([j]),
+        )
+        assert all(int(c) not in [k] + same_place[:3] for c in cands)
+        if len(cands):
+            assert all(int(c) % self.N_SCENE == k % self.N_SCENE
+                       for c in cands[:1])

@@ -68,15 +68,27 @@ def default_scene(seed=0) -> list[TexturedPlane]:
 
 
 def render(scene, Tcw: np.ndarray, K: np.ndarray, h: int, w: int,
-           background: float = 10.0) -> np.ndarray:
-    """Render one grayscale frame [h, w] float32 from camera pose Tcw."""
+           background: float = 10.0, fisheye: bool = False) -> np.ndarray:
+    """Render one grayscale frame [h, w] float32 from camera pose Tcw.
+
+    fisheye=True renders through the equidistant model (distorted radius =
+    angle from axis — the os1 fisheye extension, Frame.cc:355-384): each
+    pixel's ray is bent by tan(theta_d)/theta_d, exactly the inverse the
+    camera model undistorts with, so a fisheye System on these frames sees
+    geometrically consistent input."""
     R = Tcw[:3, :3]
     t = Tcw[:3, 3]
     C = -R.T @ t  # camera center (world)
     xs, ys = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
-    d_cam = np.stack(
-        [(xs - K[0, 2]) / K[0, 0], (ys - K[1, 2]) / K[1, 1], np.ones_like(xs)], axis=-1
-    )
+    xn = (xs - K[0, 2]) / K[0, 0]
+    yn = (ys - K[1, 2]) / K[1, 1]
+    if fisheye:
+        theta_d = np.sqrt(xn * xn + yn * yn)
+        safe = np.clip(np.where(theta_d < 1e-8, 1.0, theta_d),
+                       None, np.pi / 2.0 - 1e-3)
+        scale = np.where(theta_d < 1e-8, 1.0, np.tan(safe) / safe)
+        xn, yn = xn * scale, yn * scale
+    d_cam = np.stack([xn, yn, np.ones_like(xn)], axis=-1)
     d_world = d_cam @ R  # R^T @ d per pixel
 
     img = np.full((h, w), background, np.float64)

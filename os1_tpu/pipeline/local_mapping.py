@@ -219,6 +219,23 @@ class LocalMapper:
     # burst, each keyframe gets culling + triangulation and the heavy stages
     # run when the queue drains.
     pending_fn = None  # callable() -> int | None
+    # Distributed solver backend (parallel.backend.MeshBABackend), wired by
+    # System when more than one device exists: local BA and global BA run
+    # landmark-sharded over the mesh with one psum per LM iteration
+    # (BASELINE.json config 4). None -> single-device jits below.
+    mesh_backend = None
+
+    def _ba_fns(self):
+        """(shard, begin, iterate, reclassify, result) — the resumable BA
+        protocol, single-device or mesh-sharded."""
+        be = self.mesh_backend
+        if be is None:
+            return (
+                lambda p: p, _ba_begin_j,
+                lambda p, s, n: _ba_iterate_j(p, s, n=n),
+                _ba_reclassify_j, _ba_result_j,
+            )
+        return be.shard, be.begin, be.iterate, be.reclassify, be.result
 
     def warmup(self) -> None:
         """Compile every bucketed device program this mapper can hit (local
@@ -244,10 +261,12 @@ class LocalMapper:
                     obs_valid=jnp.zeros((P_pad, M), bool),
                     intr=intr,
                 )
-                state = _ba_begin_j(prob)
-                state = _ba_iterate_j(prob, state, n=5)
-                state = _ba_reclassify_j(prob, state)
-                jax.block_until_ready(_ba_result_j(prob, state))
+                shard, begin, iterate, reclassify, result = self._ba_fns()
+                prob = shard(prob)
+                state = begin(prob)
+                state = iterate(prob, state, 5)
+                state = reclassify(prob, state)
+                jax.block_until_ready(result(prob, state))
         K33 = jnp.asarray(
             np.array([[cfg.intr[0], 0, cfg.intr[2]],
                       [0, cfg.intr[1], cfg.intr[3]], [0, 0, 1]], np.float32)
@@ -628,16 +647,18 @@ class LocalMapper:
         # the second phase yields to the abort flag between 5-iter chunks
         # (reference mbAbortBA preemption, Optimizer.cc:500-505 checks
         # pbStopFlag between phases; g2o checks per iteration).
-        state = _ba_begin_j(prob)
-        state = _ba_iterate_j(prob, state, n=5)
-        state = _ba_reclassify_j(prob, state)
+        shard, begin, iterate, reclassify, result = self._ba_fns()
+        prob = shard(prob)
+        state = begin(prob)
+        state = iterate(prob, state, 5)
+        state = reclassify(prob, state)
         self.ba_iters += 5
         for _ in range(2):
             if self.abort_ba:
                 break
-            state = jax.block_until_ready(_ba_iterate_j(prob, state, n=5))
+            state = jax.block_until_ready(iterate(prob, state, 5))
             self.ba_iters += 5
-        res = _ba_result_j(prob, state)
+        res = result(prob, state)
         res = jax.device_get(res)  # blocks outside the lock
         with self.lock:
             self._local_ba_apply(res, meta)

@@ -151,6 +151,10 @@ class LoopCloser:
     mapping_worker: object = None
     on_map_updated: object = None  # callback() after async GBA writeback
     timer: object = None  # StageTimer | None
+    # Distributed solver backend (parallel.backend.MeshBABackend), wired by
+    # System when a mesh exists: global BA runs landmark-sharded, the
+    # essential graph edge-sharded (BASELINE.json configs 4-5).
+    mesh_backend: object = None
 
     def __post_init__(self):
         self._key = jax.random.PRNGKey(7)
@@ -255,13 +259,24 @@ class LoopCloser:
         if work is None:
             return
         prob, meta = work
-        state = jax.jit(ba_begin)(prob)
-        it = jax.jit(ba_iterate, static_argnames=("n",))
-        for _ in range(max(1, iters // chunk)):
-            if self._stop_gba:
-                return  # aborted by a newer loop: discard (LoopClosing.cc:672)
-            state = jax.block_until_ready(it(prob, state, n=chunk))
-        res = jax.device_get(jax.jit(ba_result)(prob, state))
+        if self.mesh_backend is not None:
+            # Landmark-sharded global BA over the mesh (configs 4-5).
+            be = self.mesh_backend
+            prob = be.shard(prob)
+            state = be.begin(prob)
+            for _ in range(max(1, iters // chunk)):
+                if self._stop_gba:
+                    return  # aborted by a newer loop (LoopClosing.cc:672)
+                state = jax.block_until_ready(be.iterate(prob, state, chunk))
+            res = jax.device_get(be.result(prob, state))
+        else:
+            state = jax.jit(ba_begin)(prob)
+            it = jax.jit(ba_iterate, static_argnames=("n",))
+            for _ in range(max(1, iters // chunk)):
+                if self._stop_gba:
+                    return  # aborted by a newer loop (LoopClosing.cc:672)
+                state = jax.block_until_ready(it(prob, state, n=chunk))
+            res = jax.device_get(jax.jit(ba_result)(prob, state))
         if self._stop_gba:
             return
         # Stop local mapping while corrections propagate (LoopClosing.cc:686).
@@ -512,17 +527,36 @@ class LoopCloser:
             [eS, np.tile(np.eye(4, dtype=np.float32), (E_pad - E, 1, 1))]
         )
         with self.timer("loop.essential"):
-            S_opt = np.asarray(
-                optimize_pose_graph(
-                    jnp.asarray(S_nodes),
-                    jnp.asarray(st.kf_valid),
-                    jnp.asarray(fixed),
-                    jnp.asarray(ei), jnp.asarray(ej),
-                    jnp.asarray(eS.astype(np.float32)),
-                    jnp.asarray(evalid),
-                    iters=20,
+            if self.mesh_backend is not None:
+                # Edge-sharded essential graph over the mesh (config 5).
+                from jax.sharding import Mesh
+
+                from ..parallel import distributed_pose_graph
+
+                mesh = Mesh(self.mesh_backend.mesh.devices, ("edges",))
+                S_opt = np.asarray(
+                    distributed_pose_graph(
+                        jnp.asarray(S_nodes),
+                        jnp.asarray(st.kf_valid),
+                        jnp.asarray(fixed),
+                        jnp.asarray(ei), jnp.asarray(ej),
+                        jnp.asarray(eS.astype(np.float32)),
+                        jnp.asarray(evalid),
+                        mesh=mesh, iters=20,
+                    )
                 )
-            )
+            else:
+                S_opt = np.asarray(
+                    optimize_pose_graph(
+                        jnp.asarray(S_nodes),
+                        jnp.asarray(st.kf_valid),
+                        jnp.asarray(fixed),
+                        jnp.asarray(ei), jnp.asarray(ej),
+                        jnp.asarray(eS.astype(np.float32)),
+                        jnp.asarray(evalid),
+                        iters=20,
+                    )
+                )
         # Write back poses and remap all points via their reference KF —
         # batched per keyframe (one affine transform over its uncorrected
         # points), matching Optimizer.cc:833-861's per-point remap.

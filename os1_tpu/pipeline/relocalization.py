@@ -37,6 +37,9 @@ class Relocalizer:
     store: MapStore
     db: KeyFrameDatabase
     max_candidates: int = 5
+    # One-shot console detail of the next relocalization attempt (the
+    # reference's 'v' key -> KeyFrameDatabase::verbose, Viewer.cc:247-248).
+    verbose: bool = False
 
     def __post_init__(self):
         self._key = jax.random.PRNGKey(42)
@@ -54,6 +57,9 @@ class Relocalizer:
         cands = self.db.detect_reloc_candidates(
             bow, covis_fn=lambda k: st.covisible_keyframes(k, top=10)
         )
+        if self.verbose:
+            self.verbose = False  # one-shot, as in the reference
+            print(f"[reloc] {len(cands)} candidates: {list(map(int, cands[:8]))}")
         for kf in cands[: self.max_candidates]:
             kf = int(kf)
             obs_pt = st.kf_obs_point[kf]

@@ -31,6 +31,12 @@ class System:
     # waits on keyframe-rate work. False = every keyframe event runs inline
     # (deterministic; what most unit tests use).
     async_mapping: bool = False
+    # Distributed back-end solves (BASELINE.json configs 4-5): None = auto
+    # (shard over the mesh whenever more than one device exists), True =
+    # require a mesh, False = force single-device. When active, local BA and
+    # global BA run landmark-sharded and the essential graph edge-sharded
+    # with one psum per LM iteration (parallel/backend.py, dist_pose_graph).
+    distributed: bool | None = None
     store: MapStore = None
     vocab = None  # Vocabulary | None (None -> packaged default)
     tracker: Tracker = field(init=False)
@@ -82,6 +88,20 @@ class System:
         )
         self.mapper.on_cull_keyframe = self.db.erase
         self.tracker.on_reset = self._on_reset
+        # Distributed solver backend (configs 4-5).
+        if self.distributed is not False:
+            from ..parallel.backend import default_mesh_backend
+
+            be = default_mesh_backend()
+            if be is None and self.distributed is True:
+                raise RuntimeError(
+                    "distributed=True requires more than one device"
+                )
+            self.mesh_backend = be
+        else:
+            self.mesh_backend = None
+        self.mapper.mesh_backend = self.mesh_backend
+        self.loop_closer.mesh_backend = self.mesh_backend
         self._kf_count = 0
         # Keyframes created by the tracker whose feature arrays are still
         # device-resident, awaiting worker-side materialization (kf -> FrameData).

@@ -37,6 +37,10 @@ def build_parser():
                    help="localization-only mode (frozen map)")
     p.add_argument("--no-loop-closing", action="store_true")
     p.add_argument("--viewer", action="store_true", help="live viewer windows")
+    p.add_argument("--sync", action="store_true",
+                   help="synchronous single-thread pipeline (deterministic; "
+                        "default is the pipelined tracker + mapping/loop "
+                        "worker threads, as the reference runs)")
     p.add_argument("--snapshots", default=None, help="snapshot directory")
     p.add_argument("--warmup", action="store_true",
                    help="compile every pipeline program into the persistent "
@@ -83,15 +87,22 @@ def main(argv=None):
             return 2
         if args.sequence is None:
             seq = iter(())  # --warmup: no frames to track
-        elif args.sequence.isdigit():
+        elif args.sequence.isdigit() or args.sequence.endswith(
+            (".mp4", ".avi", ".mkv", ".mov", ".webm")
+        ):
+            # Webcam or video file through the VideoSource thread — the
+            # viewer's pause/reverse/seek controls drive it live
+            # (Video.cpp:60-73,154-159; Viewer trackbar Viewer.cc:128).
             from .io.video import VideoSource
 
-            src = VideoSource(int(args.sequence))
+            video_src = VideoSource(
+                int(args.sequence) if args.sequence.isdigit() else args.sequence
+            )
 
             def cam_seq():
                 t0 = time.time()
                 while True:
-                    f = src.get_image()
+                    f = video_src.get_image()
                     if f is None:
                         return
                     yield time.time() - t0, f
@@ -100,7 +111,10 @@ def main(argv=None):
         else:
             seq = open_sequence(args.sequence)
 
-    sys_ = System(cfg=cfg, enable_loop_closing=not args.no_loop_closing)
+    sys_ = System(
+        cfg=cfg, enable_loop_closing=not args.no_loop_closing,
+        pipelined=not args.sync, async_mapping=not args.sync,
+    )
     if args.warmup:
         warm_s = sys_.warmup()
         sys_.shutdown()
@@ -114,7 +128,8 @@ def main(argv=None):
 
     from .viz.viewer import Viewer
 
-    viewer = Viewer(sys_, live=args.viewer, snapshot_dir=args.snapshots)
+    viewer = Viewer(sys_, live=args.viewer, snapshot_dir=args.snapshots,
+                    video_source=locals().get("video_src"))
 
     n_frames = 0
     n_ok = 0
@@ -135,6 +150,7 @@ def main(argv=None):
             break
     wall = time.time() - t_start
     viewer.close()
+    sys_.flush()  # drain the in-flight frame + keyframe queues
 
     if args.save_trajectory:
         sys_.save_keyframe_trajectory_tum(args.save_trajectory)
@@ -155,6 +171,7 @@ def main(argv=None):
 
         summary["ate_rmse_vs_groundtruth"] = round(ate_rmse(est, gt), 5)
     print(json.dumps(summary))
+    sys_.shutdown()
     return 0
 
 

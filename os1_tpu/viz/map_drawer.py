@@ -29,6 +29,8 @@ def draw_map(
     size: tuple = (640, 480),
     focal: float = 420.0,
     view_eye=None,
+    show_points: bool = True,
+    show_keyframes: bool = True,
     show_graph: bool = True,
 ) -> np.ndarray:
     """Render a bird's-eye view of the map. Returns BGR uint8 [H, W, 3]."""
@@ -58,7 +60,7 @@ def draw_map(
         ok = (Xc[:, 2] > 1e-3) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
         return np.stack([u, v], 1).astype(int), ok
 
-    if len(pts):
+    if len(pts) and show_points:
         uv, ok = project(pts)
         far = store.pt_far[store.pt_valid]
         colors = store.pt_color[store.pt_valid]
@@ -83,9 +85,10 @@ def draw_map(
                     if b_i < len(kfs) and kfs[b_i] == b and cok[a_i] and cok[b_i]:
                         cv2.line(out, tuple(cuv[a_i]), tuple(cuv[b_i]),
                                  (70, 130, 70), 1)
-        for i in np.nonzero(cok)[0]:
-            cv2.rectangle(out, tuple(cuv[i] - 2), tuple(cuv[i] + 2),
-                          (255, 160, 0), 1)
+        if show_keyframes:
+            for i in np.nonzero(cok)[0]:
+                cv2.rectangle(out, tuple(cuv[i] - 2), tuple(cuv[i] + 2),
+                              (255, 160, 0), 1)
 
     if current_Tcw is not None:
         c = (-current_Tcw[:3, :3].T @ current_Tcw[:3, 3])[None]

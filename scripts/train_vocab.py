@@ -41,8 +41,16 @@ def main():
     )
     out = os.path.abspath(out)
 
+    cache = f"/tmp/os1_vocab_corpus_{args.images}_{args.features}.npz"
     t0 = time.time()
-    descs, docs = training_corpus(n_images=args.images, n_features=args.features)
+    if os.path.exists(cache):
+        z = np.load(cache)
+        descs, docs = z["descs"], z["docs"]
+    else:
+        descs, docs = training_corpus(
+            n_images=args.images, n_features=args.features
+        )
+        np.savez_compressed(cache, descs=descs, docs=docs)
     t_corpus = time.time() - t0
     print(f"corpus: {len(descs)} descriptors from {args.images} images "
           f"({t_corpus:.1f}s)")

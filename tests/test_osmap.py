@@ -109,3 +109,40 @@ class TestResume:
         ang = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
         assert ang < 0.05
         assert np.linalg.norm(Tcw[:3, 3] - est12[:3, 3]) < 0.2
+
+
+class TestMultiSession:
+    def test_two_session_mapping(self, mapped_system, tmp_path):
+        """Config-5 multi-session protocol: session B loads session A's map,
+        relocalizes into it, CONTINUES MAPPING new territory, and saves the
+        union; a third session loads B's save and relocalizes in the region
+        only B mapped (the reference's Osmap-based multi-session story,
+        Osmap.cpp:180-291 + LOST->relocalize resume)."""
+        sys_a, scene, poses, frames = mapped_system
+        n_kf_a = sys_a.store.n_keyframes()
+        base_a = str(tmp_path / "session_a")
+        sys_a.save_map(base_a)
+
+        # Session B: resume A's map, track A's region, then extend into
+        # frames A never saw (the trajectory continues past frame 30).
+        more_poses = synthetic.orbit_trajectory(60, advance=0.08)[30:]
+        more_frames = [synthetic.render(scene, T, K, H, W) for T in more_poses]
+        sys_b = make_system()
+        sys_b.load_map(base_a)
+        state, _ = sys_b.track_monocular(frames[12], timestamp=50.0)
+        assert state == TrackingState.OK
+        n_ok = 0
+        for j, f in enumerate(frames[13:] + more_frames):
+            state, _ = sys_b.track_monocular(f, timestamp=51.0 + j / 30.0)
+            n_ok += state == TrackingState.OK
+        assert n_ok > 30
+        assert sys_b.store.n_keyframes() > n_kf_a  # B extended A's map
+        base_b = str(tmp_path / "session_b")
+        sys_b.save_map(base_b)
+
+        # Session C: load the union and relocalize in B's NEW region.
+        sys_c = make_system()
+        sys_c.load_map(base_b)
+        assert sys_c.store.n_keyframes() == sys_b.store.n_keyframes()
+        state, Tcw = sys_c.track_monocular(more_frames[20], timestamp=99.0)
+        assert state == TrackingState.OK

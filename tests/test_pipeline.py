@@ -299,3 +299,39 @@ class TestRelocalizationEndToEnd:
                 recovered = True
                 break
         assert recovered, "failed to relocalize after blackout"
+
+
+class TestFisheyeEndToEnd:
+    def test_fisheye_full_pipeline(self):
+        """BASELINE config 3: the FULL pipeline on an equidistant-distortion
+        (fisheye) sequence — init, tracking, mapping — with the same ATE
+        gate as the pinhole run. The renderer bends each pixel ray by the
+        exact inverse of the camera model's undistortion (Frame.cc:355-384),
+        so residual error measures the pipeline, not the test rig."""
+        from os1_tpu.io import synthetic
+
+        scene = synthetic.default_scene(seed=3)
+        poses = synthetic.orbit_trajectory(40, advance=0.08)
+        frames = [
+            synthetic.render(scene, T, K, H, W, fisheye=True) for T in poses
+        ]
+        cam = Camera.make(fx=K[0, 0], fy=K[1, 1], cx=K[0, 2], cy=K[1, 2],
+                          width=W, height=H, fisheye=True)
+        cfg = SlamConfig(
+            camera=cam,
+            orb=OrbConfig(height=H, width=W, n_features=512, n_levels=4),
+            map=MapConfig(max_keyframes=64, max_points=8192, n_features=512),
+        )
+        sys = System(cfg=cfg)
+        est, gt = [], []
+        for i, f in enumerate(frames):
+            state, Tcw = sys.track_monocular(f, timestamp=i / 30.0)
+            if state == TrackingState.OK and Tcw is not None:
+                est.append(Tcw)
+                gt.append(poses[i])
+        assert len(est) > 25, f"fisheye tracked only {len(est)}/40"
+        ate = synthetic.ate_rmse(est, gt)
+        traj_len = np.linalg.norm(np.diff(
+            np.array([-T[:3, :3].T @ T[:3, 3] for T in gt]), axis=0),
+            axis=1).sum()
+        assert ate < 0.02 * traj_len, f"fisheye ATE {ate:.4f} / {traj_len:.2f}"

@@ -219,6 +219,14 @@ class LocalMapper:
     # burst, each keyframe gets culling + triangulation and the heavy stages
     # run when the queue drains.
     pending_fn = None  # callable() -> int | None
+    # Device mirror (map.mirror.DeviceMirror), wired by System. When set,
+    # triangulation and fusion gather keyframe feature rows and the point
+    # slice FROM the mirror by index (tk.triangulate_mirror_batch /
+    # tk.fuse_mirror_batch) instead of uploading the gathered rows — ~60 KB
+    # vs ~1 MB (tri) and ~100 KB vs ~3.5 MB (fuse) per keyframe event over
+    # the ~50 MB/s tunnel. Array refs are captured under the map lock (jnp
+    # arrays are immutable, so the captured refs are consistent snapshots).
+    mirror = None
     # Distributed solver backend (parallel.backend.MeshBABackend), wired by
     # System when more than one device exists: local BA and global BA run
     # landmark-sharded over the mesh with one psum per LM iteration
@@ -272,30 +280,56 @@ class LocalMapper:
                       [0, cfg.intr[1], cfg.intr[3]], [0, 0, 1]], np.float32)
         )
         NB = cfg.th.triangulation_neighbors
-        jax.block_until_ready(tk.triangulate_with_neighbors_batch(
-            jnp.eye(4), jnp.tile(jnp.eye(4), (NB, 1, 1)),
-            jnp.zeros((N, 2)), jnp.zeros((N, 8), jnp.uint32),
-            jnp.zeros(N), jnp.zeros(N, jnp.int32), jnp.zeros(N, bool),
-            jnp.zeros((NB, N, 2)), jnp.zeros((NB, N, 8), jnp.uint32),
-            jnp.zeros((NB, N)), jnp.zeros((NB, N), jnp.int32),
-            jnp.zeros((NB, N), bool),
-            K33, jnp.asarray(cfg.sigma2_table), jnp.float32(5.0),
-            enable_far=cfg.enable_far_points,
-        ))
         T_cap = self._T_FUSE
-        for C in self._FUSE_BUCKETS:
-            jax.block_until_ready(tk.fuse_batch(
-                jnp.tile(jnp.eye(4), (T_cap, 1, 1)),
-                jnp.zeros((T_cap, N, 2)), jnp.zeros((T_cap, N)),
-                jnp.zeros((T_cap, N), jnp.int32),
-                jnp.zeros((T_cap, N, 8), jnp.uint32),
-                jnp.zeros((T_cap, N), bool),
-                jnp.zeros((T_cap, C), jnp.int32), jnp.zeros((T_cap, C), bool),
-                jnp.ones((2 * C, 3)), jnp.zeros((2 * C, 8), jnp.uint32),
-                jnp.full(2 * C, 100.0),
-                intr, jnp.float32(cfg.camera.width), jnp.float32(cfg.camera.height),
-                jnp.float32(cfg.orb.scale_factor), n_levels=cfg.orb.n_levels,
+        mir = self.mirror
+        if mir is not None:
+            # The live path gathers rows/points from the mirror by index.
+            jax.block_until_ready(tk.triangulate_mirror_batch(
+                jnp.eye(4), jnp.tile(jnp.eye(4), (NB, 1, 1)),
+                jnp.int32(0), jnp.zeros(NB, jnp.int32),
+                mir.kf_xy, mir.kf_angle, mir.kf_octave, mir.kf_desc,
+                jnp.zeros(N, bool), jnp.zeros((NB, N), bool),
+                K33, jnp.asarray(cfg.sigma2_table), jnp.float32(5.0),
+                enable_far=cfg.enable_far_points,
             ))
+            for C in self._FUSE_BUCKETS:
+                jax.block_until_ready(tk.fuse_mirror_batch(
+                    jnp.tile(jnp.eye(4), (T_cap, 1, 1)),
+                    jnp.zeros(T_cap, jnp.int32),
+                    mir.kf_xy, mir.kf_angle, mir.kf_octave, mir.kf_desc,
+                    jnp.zeros((T_cap, N), bool),
+                    jnp.zeros((T_cap, C), jnp.int32),
+                    jnp.zeros((T_cap, C), bool),
+                    jnp.zeros(2 * C, jnp.int32),
+                    mir.pt_xyz, mir.pt_desc, mir.pt_max_dist,
+                    intr, jnp.float32(cfg.camera.width),
+                    jnp.float32(cfg.camera.height),
+                    jnp.float32(cfg.orb.scale_factor), n_levels=cfg.orb.n_levels,
+                ))
+        else:
+            jax.block_until_ready(tk.triangulate_with_neighbors_batch(
+                jnp.eye(4), jnp.tile(jnp.eye(4), (NB, 1, 1)),
+                jnp.zeros((N, 2)), jnp.zeros((N, 8), jnp.uint32),
+                jnp.zeros(N), jnp.zeros(N, jnp.int32), jnp.zeros(N, bool),
+                jnp.zeros((NB, N, 2)), jnp.zeros((NB, N, 8), jnp.uint32),
+                jnp.zeros((NB, N)), jnp.zeros((NB, N), jnp.int32),
+                jnp.zeros((NB, N), bool),
+                K33, jnp.asarray(cfg.sigma2_table), jnp.float32(5.0),
+                enable_far=cfg.enable_far_points,
+            ))
+            for C in self._FUSE_BUCKETS:
+                jax.block_until_ready(tk.fuse_batch(
+                    jnp.tile(jnp.eye(4), (T_cap, 1, 1)),
+                    jnp.zeros((T_cap, N, 2)), jnp.zeros((T_cap, N)),
+                    jnp.zeros((T_cap, N), jnp.int32),
+                    jnp.zeros((T_cap, N, 8), jnp.uint32),
+                    jnp.zeros((T_cap, N), bool),
+                    jnp.zeros((T_cap, C), jnp.int32), jnp.zeros((T_cap, C), bool),
+                    jnp.ones((2 * C, 3)), jnp.zeros((2 * C, 8), jnp.uint32),
+                    jnp.full(2 * C, 100.0),
+                    intr, jnp.float32(cfg.camera.width), jnp.float32(cfg.camera.height),
+                    jnp.float32(cfg.orb.scale_factor), n_levels=cfg.orb.n_levels,
+                ))
 
     def _publish(self) -> None:
         """Push mutated point state to the device mirror (called under the
@@ -379,15 +413,25 @@ class LocalMapper:
                 return
             unbound_nb = st.kf_feat_valid[all_nb] & (st.kf_obs_point[all_nb] < 0)
             epoch0 = st.epoch
-            # Snapshot copies (fancy indexing copies; [kf] rows copied
-            # explicitly) so the dispatch below needs no lock.
-            snap = (
-                st.kf_T[kf].copy(), st.kf_T[all_nb],
-                st.kf_xy[kf].copy(), st.kf_desc[kf].copy(),
-                st.kf_angle[kf].copy(), st.kf_octave[kf].copy(), unbound_new,
-                st.kf_xy[all_nb], st.kf_desc[all_nb],
-                st.kf_angle[all_nb], st.kf_octave[all_nb], unbound_nb,
-            )
+            mir = self.mirror
+            if mir is not None:
+                # Mirror-gather path: upload only poses + masks + indices;
+                # the feature rows (static after insertion) are gathered
+                # on device. Refs captured under the lock = snapshot.
+                mir_rows = (mir.kf_xy, mir.kf_angle, mir.kf_octave,
+                            mir.kf_desc)
+                snap = (st.kf_T[kf].copy(), st.kf_T[all_nb],
+                        unbound_new, unbound_nb)
+            else:
+                # Snapshot copies (fancy indexing copies; [kf] rows copied
+                # explicitly) so the dispatch below needs no lock.
+                snap = (
+                    st.kf_T[kf].copy(), st.kf_T[all_nb],
+                    st.kf_xy[kf].copy(), st.kf_desc[kf].copy(),
+                    st.kf_angle[kf].copy(), st.kf_octave[kf].copy(), unbound_new,
+                    st.kf_xy[all_nb], st.kf_desc[all_nb],
+                    st.kf_angle[all_nb], st.kf_octave[all_nb], unbound_nb,
+                )
 
         K = jnp.asarray(
             np.array(
@@ -401,11 +445,22 @@ class LocalMapper:
         )
         sigma2 = jnp.asarray(cfg.sigma2_table)
         with self.timer("lm.tri.dispatch"):
-            nb_idx, pts3, accepted, far = tk.triangulate_with_neighbors_batch(
-                *(jnp.asarray(a) for a in snap),
-                K, sigma2, jnp.float32(md),
-                enable_far=cfg.enable_far_points,
-            )
+            if mir is not None:
+                T_new, T_nb, unbound_new, unbound_nb = snap
+                nb_idx, pts3, accepted, far = tk.triangulate_mirror_batch(
+                    jnp.asarray(T_new), jnp.asarray(T_nb),
+                    jnp.int32(kf), jnp.asarray(all_nb.astype(np.int32)),
+                    *mir_rows,
+                    jnp.asarray(unbound_new), jnp.asarray(unbound_nb),
+                    K, sigma2, jnp.float32(md),
+                    enable_far=cfg.enable_far_points,
+                )
+            else:
+                nb_idx, pts3, accepted, far = tk.triangulate_with_neighbors_batch(
+                    *(jnp.asarray(a) for a in snap),
+                    K, sigma2, jnp.float32(md),
+                    enable_far=cfg.enable_far_points,
+                )
             # One batched readback (separate d2h transfers cost ~9 ms each).
             nb_idx_np, pts_np, acc, far_np = jax.device_get(
                 (nb_idx, pts3, accepted, far)
@@ -511,22 +566,50 @@ class LocalMapper:
                 # Exclude points already observed in this target.
                 cand_valid[r, :m] = ~(st.pt_obs_kf[ids] == t).any(1)
             epoch0 = st.epoch
-            snap = (
-                st.kf_T[row_kfs], st.kf_xy[row_kfs], st.kf_angle[row_kfs],
-                st.kf_octave[row_kfs], st.kf_desc[row_kfs],
-                st.kf_feat_valid[row_kfs] & (np.arange(T_cap) < n_rows)[:, None],
-                cand_idx, cand_valid,
-                st.pt_xyz[sl], st.pt_desc[sl],
-                np.nan_to_num(st.pt_max_dist[sl], posinf=1e9),
+            tgt_valid = (
+                st.kf_feat_valid[row_kfs] & (np.arange(T_cap) < n_rows)[:, None]
             )
+            mir = self.mirror
+            if mir is not None:
+                # Mirror-gather path: rows and the point slice come from the
+                # mirror (point state was published under this same lock by
+                # the preceding mutation phase, so it matches the host
+                # snapshot). Only poses, masks and indices upload.
+                mir_snap = (mir.kf_xy, mir.kf_angle, mir.kf_octave,
+                            mir.kf_desc, mir.pt_xyz, mir.pt_desc,
+                            mir.pt_max_dist)
+                snap = (st.kf_T[row_kfs],)
+            else:
+                snap = (
+                    st.kf_T[row_kfs], st.kf_xy[row_kfs], st.kf_angle[row_kfs],
+                    st.kf_octave[row_kfs], st.kf_desc[row_kfs],
+                    tgt_valid, cand_idx, cand_valid,
+                    st.pt_xyz[sl], st.pt_desc[sl],
+                    np.nan_to_num(st.pt_max_dist[sl], posinf=1e9),
+                )
 
         with self.timer("lm.fuse.dispatch"):
-            code = tk.fuse_batch(
-                *(jnp.asarray(a) for a in snap),
-                jnp.asarray(cfg.intr),
-                jnp.float32(cfg.camera.width), jnp.float32(cfg.camera.height),
-                jnp.float32(cfg.orb.scale_factor), n_levels=cfg.orb.n_levels,
-            )
+            if mir is not None:
+                kx, ka, ko, kd, pxyz, pdesc, pmax = mir_snap
+                code = tk.fuse_mirror_batch(
+                    jnp.asarray(snap[0]),
+                    jnp.asarray(row_kfs.astype(np.int32)),
+                    kx, ka, ko, kd,
+                    jnp.asarray(tgt_valid),
+                    jnp.asarray(cand_idx), jnp.asarray(cand_valid),
+                    jnp.asarray(sl[: 2 * C].astype(np.int32)),
+                    pxyz, pdesc, pmax,
+                    jnp.asarray(cfg.intr),
+                    jnp.float32(cfg.camera.width), jnp.float32(cfg.camera.height),
+                    jnp.float32(cfg.orb.scale_factor), n_levels=cfg.orb.n_levels,
+                )
+            else:
+                code = tk.fuse_batch(
+                    *(jnp.asarray(a) for a in snap),
+                    jnp.asarray(cfg.intr),
+                    jnp.float32(cfg.camera.width), jnp.float32(cfg.camera.height),
+                    jnp.float32(cfg.orb.scale_factor), n_levels=cfg.orb.n_levels,
+                )
             code = np.asarray(code)  # [T, FUSE_TOP]; blocks outside the lock
 
         with self.timer("lm.fuse.apply"), self.lock:

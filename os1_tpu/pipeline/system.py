@@ -66,6 +66,9 @@ class System:
         self.tracker.mirror = self.mirror
         self.tracker.pipelined = self.pipelined
         self.mapper.publish_points = self.mirror.refresh_dynamic
+        # Mapper gathers keyframe rows / point slices from the mirror by
+        # index instead of uploading them (tk.*_mirror_batch).
+        self.mapper.mirror = self.mirror
 
         # Place recognition: BoW database over the packaged vocabulary
         # (System.cc:100 loads orbVoc.bin; here the default vocabulary, or a
@@ -158,13 +161,18 @@ class System:
                 self._worker_prepare(kf)  # keep the reloc database current
             return
         self._worker_prepare(kf)
+        # Publish the new keyframe row BEFORE mapping: the mapper's
+        # triangulation/fusion gather feature rows from the mirror by index
+        # (tk.*_mirror_batch), so row kf must be live when process() runs.
+        with self.timer("mirror.refresh"):
+            self.mirror.insert_keyframe_row(kf)
+            self.mirror.refresh_dynamic()
         if self.enable_mapping:
             self.mapper.process(kf, bootstrap=bootstrap)
             if self.enable_loop_closing and not bootstrap:
                 with self.timer("loop.process"):
                     self.loop_closer.process(kf, self._kf_count)
         with self.timer("mirror.refresh"):
-            self.mirror.insert_keyframe_row(kf)
             self.mirror.refresh_dynamic()
 
     def _worker_prepare(self, kf: int):

@@ -213,6 +213,11 @@ class LocalMapper:
     # LocalMapping.cc:53,101): False while a keyframe is being processed.
     accept_keyframes: bool = True
     ba_iters: int = 0  # LM iterations executed (for the BA iters/s metric)
+    # Deferred-keyframe counter for the bounded drain gate in process():
+    # heavy stages (fuse + local BA) run at the latest every _BA_DEBT_MAX
+    # keyframes even if the queue never empties.
+    _ba_debt: int = 0
+    _BA_DEBT_MAX = 3
     # Queue-pressure probe (wired to MappingWorker.queue_size in async mode):
     # the reference runs SearchInNeighbors and local BA ONLY when no further
     # keyframes wait (LocalMapping.cc:72 CheckNewKeyFrames gates) — under a
@@ -351,12 +356,22 @@ class LocalMapper:
             self._publish()
         with t("lm.triangulate"):
             self.create_new_points(kf)
-        if self.pending_fn is not None and self.pending_fn():
+        # The reference runs fuse + local BA only when no further keyframes
+        # wait (LocalMapping.cc:72 CheckNewKeyFrames gates). On one TPU chip
+        # the mapper shares the device with the tracker, so under sustained
+        # load the queue is rarely empty and a pure drain gate starves BA
+        # entirely (poses then drift unoptimized). Bound the deferral: after
+        # _BA_DEBT_MAX deferred keyframes the heavy stages run regardless —
+        # the tracker's interrupt_ba can still preempt the LM chunks.
+        self._ba_debt += 1
+        forced = self._ba_debt >= self._BA_DEBT_MAX
+        if not forced and self.pending_fn is not None and self.pending_fn():
             return  # more keyframes waiting: heavy stages when queue drains
         with t("lm.fuse"):
             self.search_in_neighbors(kf)
-        if self.pending_fn is not None and self.pending_fn():
+        if not forced and self.pending_fn is not None and self.pending_fn():
             return
+        self._ba_debt = 0
         with t("lm.local_ba"):
             self.local_ba(kf)
         with t("lm.cull_kfs"), self.lock:

@@ -27,54 +27,107 @@ N_FRAMES = 300
 FPS_BASELINE = 30.0
 
 
-def build_system():
+def build_system(sync: bool = False, **th_overrides):
+    """The benchmark system. sync=True builds the deterministic configuration
+    (inline mapping, no frame pipelining — the reference's seeded-replay
+    regression rig, src/Video.cpp:60-73 + Initializer.cc:80, in which two
+    runs produce bit-identical trajectories; see accuracy.py).
+    th_overrides patch TrackingThresholds fields (A/B experiments)."""
     from os1_tpu.features.orb import OrbConfig
     from os1_tpu.geometry.camera import Camera
     from os1_tpu.map.store import MapConfig
     from os1_tpu.pipeline import System, SlamConfig
+    from os1_tpu.pipeline.config import TrackingThresholds
 
     H, W = 480, 640
     cam = Camera.make(fx=400.0, fy=400.0, cx=320.0, cy=240.0, width=W, height=H)
+    th = TrackingThresholds(**th_overrides) if th_overrides else TrackingThresholds()
     cfg = SlamConfig(
         camera=cam,
         orb=OrbConfig(height=H, width=W, n_features=1024, n_levels=8),
         map=MapConfig(max_keyframes=128, max_points=16384, n_features=1024),
+        th=th,
     )
-    return System(cfg=cfg, pipelined=True, async_mapping=True)
+    return System(cfg=cfg, pipelined=not sync, async_mapping=not sync)
+
+
+def orbit_frames(n_frames: int = N_FRAMES):
+    """The benchmark's rendered orbit sequence (cached in /tmp) + ground truth."""
+    from os1_tpu.io import synthetic
+
+    K = np.array([[400.0, 0, 320.0], [0, 400.0, 240.0], [0, 0, 1.0]])
+    scene = synthetic.default_scene(seed=1)
+    poses = synthetic.orbit_trajectory(n_frames, advance=0.05)
+    frames = synthetic.render_sequence(
+        scene, poses, K, 480, 640, cache_key="orbit_s1_a05"
+    )
+    return frames, poses
+
+
+def loop_frames(n_frames: int = N_FRAMES):
+    """The loop-closure sequence: camera circling inside a textured room,
+    revisiting its start (synthetic.room_scene + loop_trajectory)."""
+    from os1_tpu.io import synthetic
+
+    K = np.array([[400.0, 0, 320.0], [0, 400.0, 240.0], [0, 0, 1.0]])
+    scene = synthetic.room_scene(seed=3)
+    poses = synthetic.loop_trajectory(n_frames)
+    frames = synthetic.render_sequence(
+        scene, poses, K, 480, 640, cache_key="room_s3_loop"
+    )
+    return frames, poses
 
 
 def run_sequence(sys_, frames):
-    """Track every frame; returns (wall dt, per-frame latencies, ok count,
-    estimated trajectory aligned to frame ids)."""
+    """Track every frame; returns (wall dt, per-frame latencies, ok fraction
+    over post-initialization frames). Monocular SLAM cannot track before the
+    two-view bootstrap completes (frames 0..~3 are NOT_INITIALIZED by
+    construction, Tracking.cc:344-419), so the ok fraction denominator
+    starts at the first OK frame — a mid-run tracking loss lowers it, the
+    unavoidable init window does not."""
     from os1_tpu.pipeline import TrackingState
 
     lat = np.zeros(len(frames))
-    n_ok = 0
+    states = []
     t0 = time.time()
     for i, img in enumerate(frames):
         f0 = time.perf_counter()
         state, _ = sys_.track_monocular(img, timestamp=i / FPS_BASELINE)
         lat[i] = time.perf_counter() - f0
-        n_ok += state == TrackingState.OK
+        states.append(state)
     sys_.flush()  # drain the pipelined in-flight frame
     dt = time.time() - t0
-    return dt, lat, n_ok
+    ok = np.array([s == TrackingState.OK for s in states])
+    first = int(np.argmax(ok)) if ok.any() else len(ok)
+    ok_fraction = float(ok[first:].mean()) if first < len(ok) else 0.0
+    return dt, lat, ok_fraction
+
+
+# Accuracy gates. The orbit path is ~15 units: 0.5% of path mirrors
+# ORB-SLAM2-class ATE on fr1/desk-scale trajectories (BASELINE.md) and is
+# the bound round-2/3 VERDICTs prescribed. The async bench must hold 2x the
+# deterministic sync-mode bound (accuracy.py measures that one).
+GATE_ATE_ORBIT = 0.15  # 1% of the ~15-unit orbit path (async, steady state)
+GATE_ATE_LOOP = 0.22  # 2% of the ~10.9-unit loop path (pre-GBA convergence)
+GATE_OK_FRACTION = 1.0
+GATE_MIN_LOOPS = 1
+
+
+def _traj_ate(sys_, poses):
+    from os1_tpu.io import synthetic
+
+    traj = sys_.frame_trajectory()
+    est = [T for (_, fid, T) in traj]
+    gt = [poses[fid] for (_, fid, _) in traj]
+    return synthetic.ate_rmse(est, gt) if len(est) >= 10 else float("nan")
 
 
 def main():
     import jax
 
-    from os1_tpu.io import synthetic
-
-    K = np.array([[400.0, 0, 320.0], [0, 400.0, 240.0], [0, 0, 1.0]])
-    scene = synthetic.default_scene(seed=1)
-    poses = synthetic.orbit_trajectory(N_FRAMES, advance=0.05)
     # uint8 frames: what a camera delivers, and 4x cheaper on the tunneled
     # h2d path than float32 (the frame builder converts on device).
-    frames = [
-        np.clip(synthetic.render(scene, T, K, 480, 640), 0, 255).astype(np.uint8)
-        for T in poses
-    ]
+    frames, poses = orbit_frames()
 
     # Warmup: explicit compile of every device program + bucket shape, then
     # one full pass for anything data-dependent.
@@ -85,15 +138,12 @@ def main():
 
     # Timed pass on a fresh system: identical shapes, zero compiles.
     sys_ = build_system()
-    dt, lat, n_ok = run_sequence(sys_, frames)
+    dt, lat, ok_frac = run_sequence(sys_, frames)
     fps = len(frames) / dt
 
     # ---- metric triple ----
     # ATE RMSE vs the rendered ground truth (Sim3-aligned, monocular).
-    traj = sys_.frame_trajectory()
-    est = [T for (_, fid, T) in traj]
-    gt = [poses[fid] for (_, fid, _) in traj]
-    ate = synthetic.ate_rmse(est, gt) if len(est) >= 10 else float("nan")
+    ate = _traj_ate(sys_, poses)
 
     # Local-BA iters/s: LM iterations executed / local-BA wall time.
     ba_wall = sys_.timer.totals.get("lm.local_ba", 0.0)
@@ -104,6 +154,32 @@ def main():
         for name, tot in sorted(sys_.timer.totals.items(), key=lambda kv: -kv[1])
     }
     print(sys_.timer.report(), file=sys.stderr)
+    sys_.shutdown()
+
+    # ---- loop-closure sequence (room scene, closed circuit) ----
+    # The reference's defining steady-state behavior (LoopClosing.cc:407-592)
+    # exercised at bench scale under real async timing: detect -> Sim3 ->
+    # correct -> essential graph -> GBA must fire at least once.
+    lframes, lposes = loop_frames()
+    lsys = build_system()
+    run_sequence(lsys, lframes)  # warmup pass (loop-path programs compile here)
+    lsys.shutdown()
+    lsys = build_system()
+    ldt, _, l_ok_frac = run_sequence(lsys, lframes)
+    lsys.flush()
+    ate_loop = _traj_ate(lsys, lposes)
+    n_loops = lsys.loop_closer.n_loops_closed
+    lsys.shutdown()
+
+    gates = {
+        "ate_orbit": [round(ate, 5), GATE_ATE_ORBIT, bool(ate <= GATE_ATE_ORBIT)],
+        "ok_fraction": [round(ok_frac, 3), GATE_OK_FRACTION,
+                        bool(ok_frac >= GATE_OK_FRACTION)],
+        "ate_loop": [round(ate_loop, 5), GATE_ATE_LOOP,
+                     bool(ate_loop <= GATE_ATE_LOOP)],
+        "n_loops_closed": [n_loops, GATE_MIN_LOOPS, bool(n_loops >= GATE_MIN_LOOPS)],
+    }
+    failures = [k for k, (_, _, ok) in gates.items() if not ok]
 
     print(
         json.dumps(
@@ -118,16 +194,26 @@ def main():
                     "frame_latency_ms_p50": round(float(np.percentile(lat, 50)) * 1e3, 2),
                     "frame_latency_ms_p99": round(float(np.percentile(lat, 99)) * 1e3, 2),
                     "frames_timed": len(frames),
-                    "ok_fraction": round(n_ok / len(frames), 3),
+                    "ok_fraction": round(ok_frac, 3),
                     "n_keyframes": sys_.store.n_keyframes(),
                     "n_points": sys_.store.n_points(),
-                    "n_loops_closed": sys_.loop_closer.n_loops_closed,
+                    "loop_seq": {
+                        "ate_rmse": round(ate_loop, 5),
+                        "n_loops_closed": n_loops,
+                        "fps": round(len(lframes) / ldt, 2),
+                        "ok_fraction": round(l_ok_frac, 3),
+                    },
+                    "gates": gates,
+                    "gate_failures": failures,
                     "stage_ms_per_call": stage_ms,
                     "platform": str(jax.devices()[0]),
                 },
             }
         )
     )
+    if failures:
+        print(f"ACCURACY GATES FAILED: {failures}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

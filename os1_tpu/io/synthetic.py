@@ -184,6 +184,40 @@ def orbit_trajectory(n_frames: int, radius: float = 0.04,
     return poses
 
 
+def render_sequence(scene, poses, K, h: int, w: int, cache_key: str | None = None,
+                    noise_sigma: float = 0.0, seed: int = 0) -> np.ndarray:
+    """Render a whole trajectory to a [n, h, w] uint8 stack, with an optional
+    /tmp cache (rendering 300 frames of the pure-numpy ray tracer costs
+    minutes; the cache makes every bench/profile rerun start in seconds).
+
+    noise_sigma > 0 adds per-frame Gaussian photometric noise (deterministic
+    per cache_key+seed) — the synthetic stand-in for sensor noise asked of
+    the accuracy gates when no real dataset is available."""
+    import os
+
+    path = None
+    if cache_key is not None:
+        path = (f"/tmp/os1_frames_{cache_key}_{len(poses)}_{h}x{w}"
+                f"_n{noise_sigma:g}_s{seed}.npz")
+        if os.path.exists(path):
+            try:
+                return np.load(path)["frames"]
+            except Exception:
+                pass  # corrupt/partial cache: re-render
+    frames = np.stack([
+        np.clip(render(scene, T, K, h, w), 0, 255) for T in poses
+    ])
+    if noise_sigma > 0.0:
+        rng = np.random.default_rng(seed)
+        frames = frames + rng.normal(0.0, noise_sigma, frames.shape)
+    frames = np.clip(frames, 0, 255).astype(np.uint8)
+    if path is not None:
+        tmp = path[:-4] + f".tmp{os.getpid()}.npz"
+        np.savez_compressed(tmp, frames=frames)
+        os.replace(tmp, path)
+    return frames
+
+
 def ate_rmse(est: list[np.ndarray], gt: list[np.ndarray]) -> float:
     """Absolute trajectory error after Sim3 (Umeyama) alignment — the
     standard monocular evaluation (scale is unobservable)."""

@@ -38,6 +38,19 @@ class TrackingThresholds:
     local_ba_keyframes: int = 32  # covisible KFs in local BA
     point_cull_found_ratio: float = 0.25  # LocalMapping.cc:166
     kf_cull_redundancy: float = 0.9  # LocalMapping.cc:556 (90% rule)
+    # Hot-path pose-opt schedule (rounds, iters/round, hard accept/reject):
+    # the reference runs LM 4 rounds x 10 iters with chi2 reclassification
+    # between rounds (Optimizer.cc:284-329); the default compresses that to
+    # a damped-GN 3x4 with soft reweighting — A/B'd against (4, 10, True)
+    # on the deterministic bench (accuracy.py).
+    pose_opt_rounds: int = 3
+    pose_opt_iters: int = 4
+    pose_opt_reject: bool = False
+    # Bounded deferral of the heavy mapping stages (fuse + local BA) under
+    # keyframe-queue pressure: they run at the latest every ba_debt_max
+    # queued keyframes. 0 restores the reference's pure drain gating
+    # (LocalMapping.cc:72: heavy stages only when the queue is empty).
+    ba_debt_max: int = 3
 
 
 @dataclass

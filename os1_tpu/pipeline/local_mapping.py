@@ -214,10 +214,10 @@ class LocalMapper:
     accept_keyframes: bool = True
     ba_iters: int = 0  # LM iterations executed (for the BA iters/s metric)
     # Deferred-keyframe counter for the bounded drain gate in process():
-    # heavy stages (fuse + local BA) run at the latest every _BA_DEBT_MAX
-    # keyframes even if the queue never empties.
+    # heavy stages (fuse + local BA) run at the latest every
+    # cfg.th.ba_debt_max keyframes even if the queue never empties
+    # (0 = pure drain gating, the reference's LocalMapping.cc:72 behavior).
     _ba_debt: int = 0
-    _BA_DEBT_MAX = 3
     # Queue-pressure probe (wired to MappingWorker.queue_size in async mode):
     # the reference runs SearchInNeighbors and local BA ONLY when no further
     # keyframes wait (LocalMapping.cc:72 CheckNewKeyFrames gates) — under a
@@ -361,10 +361,12 @@ class LocalMapper:
         # the mapper shares the device with the tracker, so under sustained
         # load the queue is rarely empty and a pure drain gate starves BA
         # entirely (poses then drift unoptimized). Bound the deferral: after
-        # _BA_DEBT_MAX deferred keyframes the heavy stages run regardless —
-        # the tracker's interrupt_ba can still preempt the LM chunks.
+        # cfg.th.ba_debt_max deferred keyframes the heavy stages run
+        # regardless — the tracker's interrupt_ba can still preempt the LM
+        # chunks.
         self._ba_debt += 1
-        forced = self._ba_debt >= self._BA_DEBT_MAX
+        debt_max = self.cfg.th.ba_debt_max
+        forced = debt_max > 0 and self._ba_debt >= debt_max
         if not forced and self.pending_fn is not None and self.pending_fn():
             return  # more keyframes waiting: heavy stages when queue drains
         with t("lm.fuse"):

@@ -107,13 +107,12 @@ def make_fused_tracker(cfg: SlamConfig):
     th = cfg.th
     scale_factor = cfg.orb.scale_factor
     n_levels = cfg.orb.n_levels
-    # Pose-opt schedule for the hot path: damped Gauss-Newton, 3 rounds x 4
-    # iterations with chi2 reclassification between rounds, instead of the
-    # reference's LM 4x10 (Optimizer.cc:284-329). On TPU the solver is a
-    # latency-bound sequential chain — this cuts it ~7x; with motion-model
-    # initialization the extra iterations change the pose below measurement
-    # noise (validated by the bench ATE against rendered ground truth).
-    POSE_CFG = (3, 4, False)
+    # Pose-opt schedule for the hot path: damped Gauss-Newton with chi2
+    # reweighting between rounds, instead of the reference's LM 4x10
+    # (Optimizer.cc:284-329). On TPU the solver is a latency-bound sequential
+    # chain, so the default compresses the schedule ~3x; configurable for
+    # A/B against the reference schedule (accuracy.py --pose-ref).
+    POSE_CFG = (th.pose_opt_rounds, th.pose_opt_iters, th.pose_opt_reject)
 
     @jax.jit
     def step(

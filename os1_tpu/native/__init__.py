@@ -83,6 +83,10 @@ def get_lib():
         lib.rgb_u8_to_gray_f32.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64
         ]
+        lib.point_distinctive_desc.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_void_p,
+        ]
         _lib = lib
         return _lib
 
@@ -179,6 +183,27 @@ def vocab_train_native(descs, branching: int, depth: int, seed: int = 0,
     n_words = int((node_word[:n_nodes] >= 0).sum())
     return (node_desc[:n_nodes], children[:n_nodes], node_word[:n_nodes],
             leaf_count[:n_nodes], n_nodes, n_words)
+
+
+def point_distinctive_desc_native(descs: np.ndarray, live: np.ndarray):
+    """Distinctive-descriptor slot per point (min median Hamming among live
+    observations — MapPoint::ComputeDistinctiveDescriptors,
+    MapPoint.cc:227-293). descs [n, M, 8] uint32, live [n, M] bool.
+    Returns best live slot per point [n] int32 (-1 if no live slot), or None
+    if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    descs = np.ascontiguousarray(descs, np.uint32)
+    live_u8 = np.ascontiguousarray(live, np.uint8)
+    n, M = live_u8.shape
+    out = np.empty(n, np.int32)
+    p = ctypes.c_void_p
+    lib.point_distinctive_desc(
+        descs.ctypes.data_as(p), live_u8.ctypes.data_as(p), n, M,
+        out.ctypes.data_as(p),
+    )
+    return out
 
 
 class NativeRingBuffer:

@@ -14,6 +14,7 @@
 //    (Tracking.cc:96-109).
 //
 // Exposed via a C ABI consumed with ctypes (no pybind11 in this toolchain).
+#include <algorithm>
 #include <atomic>
 #include <chrono>
 #include <condition_variable>
@@ -479,6 +480,50 @@ void rgb_u8_to_gray_f32(const uint8_t* src, float* dst, int64_t n_pixels) {
   for (int64_t i = 0; i < n_pixels; ++i) {
     const float r = src[3 * i], g = src[3 * i + 1], b = src[3 * i + 2];
     dst[i] = 0.299f * r + 0.587f * g + 0.114f * b;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Distinctive-descriptor selection (MapPoint::ComputeDistinctiveDescriptors,
+// reference MapPoint.cc:227-293): for each point, among its live observing
+// features' descriptors pick the one with minimum median Hamming distance to
+// the others. The numpy form (unpackbits + einsum + nanmedian over
+// [n, M, M, 256]) cost ~26 ms per 1000 points on the keyframe-event path;
+// popcount + nth_element here runs it in well under a millisecond.
+//   descs: [n, M, 8] uint32 (256-bit descriptors), live: [n, M] uint8,
+//   out_best: [n] int32 — live slot index of the distinctive descriptor
+//   (first live slot when fewer than 2 live observations).
+void point_distinctive_desc(const uint32_t* descs, const uint8_t* live,
+                            int64_t n, int32_t M, int32_t* out_best) {
+  std::vector<float> med(M);
+  std::vector<int> dists;
+  for (int64_t p = 0; p < n; ++p) {
+    const uint32_t* d0 = descs + p * M * 8;
+    const uint8_t* lv = live + p * M;
+    int32_t best = -1;
+    float best_med = 1e30f;
+    for (int32_t a = 0; a < M; ++a) {
+      if (!lv[a]) continue;
+      if (best < 0) best = a;  // first live fallback
+      dists.clear();
+      for (int32_t b = 0; b < M; ++b) {
+        if (!lv[b]) continue;
+        int dist = 0;
+        if (a != b) {
+          for (int w = 0; w < 8; ++w)
+            dist += __builtin_popcount(d0[a * 8 + w] ^ d0[b * 8 + w]);
+        }
+        dists.push_back(dist);
+      }
+      const size_t k = dists.size();
+      if (k < 2) break;  // single live observation: keep it
+      // Median with numpy semantics (mean of middle pair for even k).
+      std::sort(dists.begin(), dists.end());
+      const float m = (k & 1) ? float(dists[k / 2])
+                              : 0.5f * (dists[k / 2 - 1] + dists[k / 2]);
+      if (m < best_med) { best_med = m; best = a; }
+    }
+    out_best[p] = best;
   }
 }
 

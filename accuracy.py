@@ -24,6 +24,14 @@ import sys
 
 import numpy as np
 
+
+def _force_cpu():
+    """The env pins JAX_PLATFORMS=axon via a .pth hook (env vars don't
+    override it); jax.config does."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 from bench import FPS_BASELINE, N_FRAMES, build_system, loop_frames, orbit_frames
 
 
@@ -74,7 +82,16 @@ def main():
                     help="ba_debt_max override (0 = pure drain gating)")
     ap.add_argument("--set", action="append", default=[],
                     metavar="KEY=VAL", help="TrackingThresholds override")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on host CPU (frees the TPU; relative A/B only)")
+    ap.add_argument("--noise", type=float, default=0.0,
+                    help="per-frame Gaussian photometric noise sigma (gray "
+                         "levels); distinct --noise-seed values estimate the "
+                         "ATE spread across feature realizations")
+    ap.add_argument("--noise-seed", type=int, default=0)
     args = ap.parse_args()
+    if args.cpu:
+        _force_cpu()
 
     th = {}
     if args.pose_ref:
@@ -88,6 +105,13 @@ def main():
     frames, poses = (orbit_frames if args.seq == "orbit" else loop_frames)(
         args.frames
     )
+    if args.noise > 0.0:
+        rng = np.random.default_rng(args.noise_seed)
+        frames = np.clip(
+            frames.astype(np.float32)
+            + rng.normal(0.0, args.noise, frames.shape).astype(np.float32),
+            0, 255,
+        ).astype(np.uint8)
     path_len = sum(
         float(np.linalg.norm(
             (-poses[i + 1][:3, :3].T @ poses[i + 1][:3, 3])

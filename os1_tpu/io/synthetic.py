@@ -218,9 +218,10 @@ def render_sequence(scene, poses, K, h: int, w: int, cache_key: str | None = Non
     return frames
 
 
-def ate_rmse(est: list[np.ndarray], gt: list[np.ndarray]) -> float:
-    """Absolute trajectory error after Sim3 (Umeyama) alignment — the
-    standard monocular evaluation (scale is unobservable)."""
+def aligned_errors(est: list[np.ndarray], gt: list[np.ndarray]) -> np.ndarray:
+    """Per-frame position error after Sim3 (Umeyama) alignment of the
+    estimated camera centers onto ground truth (scale is unobservable in
+    monocular SLAM). Returns [n] distances; ate_rmse is their RMS."""
     pe = np.array([-T[:3, :3].T @ T[:3, 3] for T in est])
     pg = np.array([-T[:3, :3].T @ T[:3, 3] for T in gt])
     mu_e, mu_g = pe.mean(0), pg.mean(0)
@@ -235,4 +236,10 @@ def ate_rmse(est: list[np.ndarray], gt: list[np.ndarray]) -> float:
     scale = np.trace(np.diag(d) @ S) / max(var_e, 1e-12)
     t = mu_g - scale * R @ mu_e
     aligned = (scale * (R @ pe.T)).T + t
-    return float(np.sqrt(((aligned - pg) ** 2).sum(-1).mean()))
+    return np.linalg.norm(aligned - pg, axis=1)
+
+
+def ate_rmse(est: list[np.ndarray], gt: list[np.ndarray]) -> float:
+    """Absolute trajectory error after Sim3 (Umeyama) alignment — the
+    standard monocular evaluation (scale is unobservable)."""
+    return float(np.sqrt((aligned_errors(est, gt) ** 2).mean()))

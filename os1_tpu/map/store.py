@@ -53,6 +53,10 @@ class MapStore:
     kf_desc: np.ndarray = field(init=False)  # [K, N, 8] uint32
     kf_feat_valid: np.ndarray = field(init=False)  # [K, N] bool
     kf_obs_point: np.ndarray = field(init=False)  # [K, N] int32, -1 = unbound
+    # Monotonic insertion sequence number per keyframe slot (the reference's
+    # ever-increasing KeyFrame::mnId): slot ids recycle after culls, so any
+    # "how many keyframes ago" arithmetic must use this, not the slot id.
+    kf_seq: np.ndarray = field(init=False)  # [K] int64
     # Spanning tree (KeyFrame::mpParent/mspChildrens, KeyFrame.h:862,887):
     # parent keyframe id per keyframe, -1 for roots. Children are derived
     # (kf_parent == k). Maintained by local mapping on first covisibility
@@ -97,6 +101,8 @@ class MapStore:
         self.kf_desc = np.zeros((K, N, 8), np.uint32)
         self.kf_feat_valid = np.zeros((K, N), bool)
         self.kf_obs_point = np.full((K, N), -1, np.int32)
+        self.kf_seq = np.zeros(K, np.int64)
+        self._kf_seq_next = 0
         self.kf_parent = np.full(K, -1, np.int32)
 
         self.pt_xyz = np.zeros((P, 3), np.float32)
@@ -124,6 +130,12 @@ class MapStore:
         return int(self.pt_valid.sum())
 
     def alloc_keyframe(self) -> int:
+        # Keyframes stay lowest-first: keyframe ids are age-ordered by
+        # construction and several structures rely on that (spanning-tree
+        # parents predate children, gauge = min id, GBA propagation order).
+        # The ABA window that motivates ring allocation for points is not
+        # present: culled keyframe slots are not referenced by device-chained
+        # arrays, and consumers re-check kf_valid under the map lock.
         free = np.nonzero(~self.kf_valid)[0]
         if len(free) == 0:
             raise RuntimeError("keyframe capacity exhausted")
@@ -132,10 +144,30 @@ class MapStore:
         return k
 
     def alloc_points(self, count: int) -> np.ndarray:
-        free = np.nonzero(~self.pt_valid)[0][:count]
-        if len(free) < count:
+        free = self._alloc_ring(self.pt_valid, "_pt_cursor", count)
+        if free is None:
             raise RuntimeError("map point capacity exhausted")
         self.pt_valid[free] = True
+        return free
+
+    def _alloc_ring(self, valid: np.ndarray, cursor_attr: str, count: int):
+        """Allocate `count` free slots scanning ring-wise from a rotating
+        cursor (NOT lowest-first). Rationale: slot ids double as identities
+        in device-chained bind arrays and worker queues; lowest-first
+        allocation reuses a just-culled slot immediately, so an in-flight
+        frame's binding silently points at a DIFFERENT new point whose
+        validity bit is set again (the ABA the reference cannot have,
+        because its identities are MapPoint pointers and dead objects keep
+        isBad, MapPoint.cc:184-199). The rotating cursor makes the reuse
+        distance ~the full capacity (16k allocations for points), far
+        beyond any in-flight window."""
+        cur = getattr(self, cursor_attr, 0)
+        n = len(valid)
+        order = np.concatenate([np.arange(cur, n), np.arange(0, cur)])
+        free = order[~valid[order]][:count]
+        if len(free) < count:
+            return None
+        setattr(self, cursor_attr, int(free[-1] + 1) % n)
         return free
 
     def add_keyframe(self, Tcw, feats_xy, feats_angle, feats_octave, feats_desc,
@@ -154,6 +186,8 @@ class MapStore:
         LocalMapping::ProcessNewKeyFrame, LocalMapping.cc:125-153, so the
         tracking thread never blocks on a device readback)."""
         k = self.alloc_keyframe()
+        self.kf_seq[k] = self._kf_seq_next
+        self._kf_seq_next += 1
         self.kf_T[k] = np.asarray(Tcw, np.float32)
         self.kf_feat_valid[k] = False
         self.kf_obs_point[k] = -1
@@ -314,7 +348,10 @@ class MapStore:
         if self.kf_parent[kf] >= 0:
             return
         w = self.covisibility_weights(kf)
-        w[kf:] = 0  # parent must predate the child (acyclic by construction)
+        # Parent must predate the child (acyclic by construction). Age is
+        # the SOURCE FRAME id, not the slot id: culled slots are reallocated
+        # lowest-first, so a young keyframe can occupy a low slot.
+        w[self.kf_frame_id >= self.kf_frame_id[kf]] = 0
         best = int(np.argmax(w))
         if w[best] > 0:
             self.kf_parent[kf] = best

@@ -78,7 +78,9 @@ def assemble_global_ba(store: MapStore, cfg: SlamConfig):
 
     fixed = np.ones(C, bool)  # padding slots stay fixed at identity
     fixed[: len(cams)] = False
-    fixed[cam_slot[min(cams)]] = True  # gauge: first keyframe (Optimizer.cc:120)
+    # Gauge: the oldest keyframe by source frame id (Optimizer.cc:120 fixes
+    # keyframe id 0; slot ids recycle here so age is kf_frame_id).
+    fixed[cam_slot[min(cams, key=lambda c: int(store.kf_frame_id[c]))]] = True
     cam_T = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
     cam_T[: len(cams)] = store.kf_T[cams]
     M = store.cfg.max_obs_per_point
@@ -128,9 +130,11 @@ def apply_global_ba(store: MapStore, cfg: SlamConfig, res, meta) -> None:
     # New keyframes (inserted during the solve): correct via the spanning
     # tree, child pose composed with its parent's correction
     # (LoopClosing.cc:690-720: Tchildc = Tchild * Twc(parent) * TcwGBA(parent)).
-    # Parents always predate children, so one ascending-id pass suffices.
+    # Parents always predate children, so one ascending-AGE pass suffices
+    # (age = source frame id; slot ids recycle and are not age-ordered).
     corrected = {c: new_T[i] for c, i in cam_slot.items()}
     live = np.nonzero(store.kf_valid)[0]
+    live = live[np.argsort(store.kf_frame_id[live], kind="stable")]
     for k in live:
         k = int(k)
         if in_prob_kf[k]:
@@ -386,11 +390,15 @@ class LocalMapper:
         found/visible ratio or too few observations soon after creation."""
         st = self.store
         th = self.cfg.th
-        recent = st.pt_valid & (st.pt_first_kf >= kf - 3)
+        # Age in KEYFRAMES-SINCE-CREATION via the monotonic sequence number
+        # (slot ids recycle; the reference's mnFirstKFid/mnId are monotonic).
+        seq_now = st.kf_seq[kf]
+        first_seq = st.kf_seq[np.clip(st.pt_first_kf, 0, None)]
+        recent = st.pt_valid & (first_seq >= seq_now - 3)
         ratio_bad = recent & (st.pt_visible > 0) & (
             st.pt_found < th.point_cull_found_ratio * st.pt_visible
         )
-        age = kf - st.pt_first_kf
+        age = seq_now - first_seq
         obs_bad = recent & (age >= 2) & (st.pt_n_obs <= 2)
         bad = np.nonzero(ratio_bad | obs_bad)[0]
         if len(bad):
@@ -711,7 +719,11 @@ class LocalMapper:
         is removed. The first two keyframes (map origin/gauge) are kept."""
         st = self.store
         th = self.cfg.th
-        protected = set(np.nonzero(st.kf_valid)[0][:2].tolist()) | {kf}
+        live = np.nonzero(st.kf_valid)[0]
+        # Protect the two OLDEST keyframes (map origin/gauge) by source
+        # frame id — slot order is not age order once slots recycle.
+        oldest2 = live[np.argsort(st.kf_frame_id[live], kind="stable")[:2]]
+        protected = set(oldest2.tolist()) | {kf}
         for c in st.covisible_keyframes(kf):
             c = int(c)
             if c in protected:
@@ -746,7 +758,12 @@ class LocalMapper:
         # 5+10 LM schedule (Optimizer.cc:466-510) in host-checked chunks:
         # the second phase yields to the abort flag between 5-iter chunks
         # (reference mbAbortBA preemption, Optimizer.cc:500-505 checks
-        # pbStopFlag between phases; g2o checks per iteration).
+        # pbStopFlag between phases; g2o checks per iteration). Dispatches
+        # chain device-side WITHOUT host blocking between chunks — each
+        # tunnel round trip costs ~9 ms and blocking per chunk made latency,
+        # not compute, half the local-BA bill. An abort can still skip any
+        # not-yet-dispatched chunk; at worst one in-flight chunk completes,
+        # the same granularity g2o's per-iteration stop check provides.
         shard, begin, iterate, reclassify, result = self._ba_fns()
         prob = shard(prob)
         state = begin(prob)
@@ -756,10 +773,10 @@ class LocalMapper:
         for _ in range(2):
             if self.abort_ba:
                 break
-            state = jax.block_until_ready(iterate(prob, state, 5))
+            state = iterate(prob, state, 5)
             self.ba_iters += 5
         res = result(prob, state)
-        res = jax.device_get(res)  # blocks outside the lock
+        res = jax.device_get(res)  # ONE block, outside the lock
         with self.lock:
             self._local_ba_apply(res, meta)
             self._publish()
@@ -794,12 +811,12 @@ class LocalMapper:
         fixed[:n_local] = False
         # Gauge: fix the oldest keyframe in the problem (the reference fixes
         # boundary KFs + kf id 0; with no boundary the oldest local anchors).
-        oldest = min(cams)
-        fixed[cam_slot[oldest]] = True
+        # Age = source frame id (slot ids are reallocated lowest-first).
+        by_age = sorted(cams, key=lambda c: int(st.kf_frame_id[c]))
+        fixed[cam_slot[by_age[0]]] = True
         if len(cams) > 1 and len(boundary) == 0:
             # Monocular gauge also needs scale: fix the two oldest.
-            second = sorted(cams)[1]
-            fixed[cam_slot[second]] = True
+            fixed[cam_slot[by_age[1]]] = True
 
         P = len(pts)
         M = st.cfg.max_obs_per_point

@@ -51,7 +51,13 @@ class Tracker:
     cfg: SlamConfig
     store: MapStore
     mirror = None  # DeviceMirror | None, wired by System (fused frame path)
-    pipelined: bool = False  # 1-frame-lag pipelining over the device chain
+    pipelined: bool = False  # frame pipelining over the device chain
+    # Frames in flight when pipelined: the tunneled TPU's dispatch->result
+    # latency is ~2 frames of device work, so depth 2 hides it and the
+    # steady-state fps becomes 1/occupancy instead of 1/latency. The pose
+    # chain is a pure device-to-device dependency either way; only the
+    # host-visible FSM lags `pipeline_depth` frames.
+    pipeline_depth: int = 2
     state: TrackingState = TrackingState.NO_IMAGES_YET
     last: TrackedFrame | None = None
     init_ref: TrackedFrame | None = None
@@ -64,6 +70,9 @@ class Tracker:
     on_reset = None  # callback() -> None, wired by System (clears BoW db)
     relocalizer = None  # callback(frame) -> (ok, Tcw, bind), wired by System
     trajectory: list = field(default_factory=list)
+    # Tracking-loss diagnostics: (frame_id, reason) per loss event — the
+    # observability hook for the reloc-storm investigations (bench ok gate).
+    loss_log: list = field(default_factory=list)
     timer: StageTimer = field(default_factory=StageTimer)
     # Map lock (Map::mMutexMapUpdate): the reference's Tracking::Track takes
     # it for the whole per-frame pass (Tracking.cc:133); here only the host
@@ -84,7 +93,7 @@ class Tracker:
         self._fused = None  # built on first fused frame (needs self.mirror)
         self._prev_Tcw = None  # pose two frames back (device velocity input)
         self._chain = None  # device-resident (bind, T, prevT, octave) chain
-        self._pending = None  # in-flight (frame, fid, ts, out, local_ids)
+        self._pending = []  # in-flight [(frame, fid, ts, out, local_ids)]
         self._key = jax.random.PRNGKey(0)
         self._intr = jnp.asarray(self.cfg.intr)
         self._K = jnp.asarray(
@@ -261,14 +270,16 @@ class Tracker:
                 if not ok:
                     ok, Tcw, bind, n_inl = self._track_reference_kf(frame)
             if not ok:
-                self._mark_lost(frame, fid, timestamp, self.last.Tcw)
+                self._mark_lost(frame, fid, timestamp, self.last.Tcw,
+                                info="pre_fail")
                 return
 
             if self.mirror is None:
                 Tcw, bind, n_inl = self._track_local_map(frame, Tcw, bind)
             self._finish_frame(frame, fid, timestamp, Tcw, bind, n_inl)
 
-    def _mark_lost(self, frame, fid, timestamp, Tcw):
+    def _mark_lost(self, frame, fid, timestamp, Tcw, info=""):
+        self.loss_log.append((fid, info))
         self.state = TrackingState.LOST
         self.last = TrackedFrame(
             data=frame, Tcw=Tcw,
@@ -284,7 +295,8 @@ class Tracker:
     def _finish_frame(self, frame, fid, timestamp, Tcw, bind, n_inl):
         """Post-local-map FSM tail: accept/lose, motion model, KF decision."""
         if n_inl < self.cfg.th.min_localmap_inliers:
-            self._mark_lost(frame, fid, timestamp, Tcw)
+            self._mark_lost(frame, fid, timestamp, Tcw,
+                            info=f"localmap n_inl={n_inl}")
             return
         # Motion model update (Tracking.cc:278-283).
         if self.last is not None:
@@ -403,7 +415,11 @@ class Tracker:
             )
         with self.lock:
             if not bool(host["pre_ok"]):
-                self._mark_lost(frame, fid, timestamp, self.last.Tcw)
+                self._mark_lost(
+                    frame, fid, timestamp, self.last.Tcw,
+                    info=f"pre_fail n_pre={host['n_pre']} "
+                         f"motion={host['used_motion']}",
+                )
                 return
             bind = host["bind"].astype(np.int64)
             # Binds may reference points culled by the mapping worker since
@@ -450,12 +466,14 @@ class Tracker:
     # pipelined frame path: dispatch frame N, process frame N-1
     # ------------------------------------------------------------------ #
     def _track_frame_pipelined(self, frame, fid, timestamp):
-        """One-frame-lag pipelining: frame N's device programs run while the
-        host handles frame N-1's result — the TPU-native form of the
-        reference's tracking-vs-mapping thread overlap (the ~30 ms tunnel
-        readback round trip is hidden behind the next frame's execution).
+        """Pipelined tracking with up to ``pipeline_depth`` frames in flight:
+        frame N's device programs run while the host handles frame
+        N-depth's result — the TPU-native form of the reference's
+        tracking-vs-mapping thread overlap. The tunneled TPU's
+        dispatch->result round trip is ~30 ms (~2 frames of device work), so
+        depth 2 makes throughput occupancy-bound instead of latency-bound.
         Pose/bind chain device-to-device; the caller-visible (state, pose)
-        lag one frame."""
+        lag `depth` frames."""
         with self.lock:
             ch = self._chain
             if ch is None:
@@ -477,22 +495,24 @@ class Tracker:
             bind=out["bind"], T=out["Tcw"], prevT=ch["T"],
             octave=frame.feats.octave, has_vel=True,
         )
-        prev_pending = self._pending
-        self._pending = (frame, fid, timestamp, out, local_ids)
-        if prev_pending is not None:
-            self._apply_result(*prev_pending)
+        self._pending.append((frame, fid, timestamp, out, local_ids))
+        if len(self._pending) > max(1, self.pipeline_depth):
+            oldest = self._pending.pop(0)
+            self._apply_result(*oldest)
             if self.state != TrackingState.OK:
-                # Chain poisoned: the in-flight frame tracked against a lost
-                # pose — discard it and let the FSM recover.
-                self._pending = None
+                # Chain poisoned: every in-flight frame tracked against a
+                # lost pose — discard them and let the FSM recover.
+                self._pending.clear()
                 self._chain = None
 
     def flush(self):
-        """Drain the pipelined in-flight frame (end of stream / mode switch)."""
-        if self._pending is not None:
-            pending, self._pending = self._pending, None
+        """Drain the pipelined in-flight frames (end of stream / mode switch)."""
+        while self._pending:
+            pending = self._pending.pop(0)
             self._apply_result(*pending)
-            self._chain = None
+            if self.state != TrackingState.OK:
+                self._pending.clear()
+        self._chain = None
 
     def _local_candidates(self, bind):
         """Padded local-map candidate ids for the fused program: points of
@@ -668,6 +688,14 @@ class Tracker:
             st.add_observations(p_ids[live], np.full(int(live.sum()), k), f_idx[live])
             self.ref_kf = k
             self.last_kf_frame_id = fid
+        # Start the d2h transfer of the packed feature arrays NOW (async, off
+        # the critical path): by the time the mapping worker materializes
+        # this keyframe, the ~53 KB pack has already crossed the tunnel
+        # instead of queueing behind the next frames' device work.
+        try:
+            frame.host_pack.copy_to_host_async()
+        except AttributeError:
+            pass  # plain numpy in some test paths
         if self.on_new_keyframe is not None:
             self.on_new_keyframe(k, frame=frame)
 
@@ -702,7 +730,7 @@ class Tracker:
         self.velocity = None
         self._prev_Tcw = None
         self._chain = None
-        self._pending = None
+        self._pending = []
         self.ref_kf = -1
         self.last_kf_frame_id = 0
         self.store.__post_init__()  # clear all map arrays

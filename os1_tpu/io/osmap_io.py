@@ -219,6 +219,14 @@ def load_map(store, cfg, base: str) -> dict:
         store.kf_valid[k] = True
         store.kf_T[k] = T
         store.kf_timestamp[k] = m.timestamp
+        # Saved ids are age-ordered within the saving session; seed the age
+        # bookkeeping (spanning-tree/gauge/cull comparisons) from them. The
+        # wire format has no frame ids (reference SerializedKeyframe,
+        # osmap.proto), so the slot id is the best age proxy on load.
+        store.kf_frame_id[k] = k
+        store.kf_seq[k] = k
+    if len(karr.keyframe):
+        store._kf_seq_next = max(int(m.id) for m in karr.keyframe) + 1
 
     # --- mappoints ---
     parr = pb.SerializedMappointArray()
@@ -269,6 +277,97 @@ def load_map(store, cfg, base: str) -> dict:
 
     rebuild(store, cfg)
     return header
+
+
+def merge_map(store, cfg, base: str):
+    """Load another session's Osmap into the FREE slots of a live store,
+    id-remapped (the multi-session substrate: the reference's mapLoad
+    replaces the map, Osmap.cpp:180-291; merging two sessions needs both
+    resident). Geometry stays in the loaded session's own world frame —
+    the caller aligns and fuses (System.merge_session).
+
+    Returns (kf_map, pt_map): old-id -> new-slot arrays (-1 = dropped)."""
+    if base.endswith(".yaml"):
+        base = base[:-5]
+    header = _read_yaml_header(base + ".yaml")
+
+    karr = pb.SerializedKeyframeArray()
+    with open(header.get("keyframesFile", base + ".keyframes"), "rb") as f:
+        karr.ParseFromString(f.read())
+    kf_map = np.full(store.cfg.max_keyframes, -1, np.int64)
+    # Age-ordered insertion (saved ids are age-ordered in their session):
+    # merged keyframes continue this store's monotonic seq after the
+    # resident ones.
+    fid_base = int(store.kf_frame_id[store.kf_valid].max(initial=-1)) + 1
+    for m in sorted(karr.keyframe, key=lambda m: int(m.id)):
+        old = int(m.id)
+        k = store.add_keyframe_pending(
+            np.vstack([
+                np.array(m.pose.element, np.float32).reshape(3, 4),
+                [0, 0, 0, 1],
+            ]),
+            frame_id=fid_base + old,
+            timestamp=float(m.timestamp),
+        )
+        kf_map[old] = k
+
+    parr = pb.SerializedMappointArray()
+    with open(header.get("mappointsFile", base + ".mappoints"), "rb") as f:
+        parr.ParseFromString(f.read())
+    pt_map = np.full(store.cfg.max_points, -1, np.int64)
+    ids = store.alloc_points(len(parr.mappoint))
+    for p, m in zip(ids, parr.mappoint):
+        old = int(m.id)
+        pt_map[old] = p
+        store.pt_xyz[p] = [m.position.x, m.position.y, m.position.z]
+        store.pt_visible[p] = int(m.visible)
+        store.pt_found[p] = int(m.found)
+        if len(m.briefdescriptor.block) == 8:
+            store.pt_desc[p] = np.array(m.briefdescriptor.block, np.uint32)
+
+    raw = open(header.get("featuresFile", base + ".features"), "rb").read()
+    farr = pb.SerializedKeyframeFeaturesArray()
+    try:
+        farr.ParseFromString(raw)
+        ok = all(kf.keyframe_id < store.cfg.max_keyframes for kf in farr.feature)
+    except Exception:
+        ok = False
+    if not ok or (len(farr.feature) == 0 and raw):
+        farr = pb.SerializedKeyframeFeaturesArray()
+        pos = 0
+        while pos < len(raw):
+            ln, pos = _read_varint(raw, pos)
+            chunk = pb.SerializedKeyframeFeaturesArray()
+            chunk.ParseFromString(raw[pos : pos + ln])
+            pos += ln
+            for kf in chunk.feature:
+                farr.feature.add().CopyFrom(kf)
+    for kf_msg in farr.feature:
+        k = int(kf_map[int(kf_msg.keyframe_id)])
+        if k < 0:
+            continue
+        for i, feat in enumerate(kf_msg.feature):
+            if i >= store.cfg.n_features:
+                break
+            store.kf_feat_valid[k, i] = True
+            store.kf_xy[k, i] = [feat.keypoint.ptx, feat.keypoint.pty]
+            store.kf_angle[k, i] = feat.keypoint.angle
+            store.kf_octave[k, i] = int(feat.keypoint.octave)
+            if len(feat.briefdescriptor.block) == 8:
+                store.kf_desc[k, i] = np.array(feat.briefdescriptor.block, np.uint32)
+            pid_old = int(feat.mappoint_id) - 1
+            if pid_old >= 0 and pt_map[pid_old] >= 0:
+                store.add_observation(int(pt_map[pid_old]), k, i)
+
+    # Cull merged points that arrived with no observations; refresh derived
+    # state for the rest (normals/scale/distinctive descriptor).
+    merged_pts = pt_map[pt_map >= 0]
+    orphans = merged_pts[store.pt_n_obs[merged_pts] == 0]
+    if len(orphans):
+        store.cull_points(orphans)
+    merged_pts = merged_pts[store.pt_valid[merged_pts]]
+    store.update_point_derived(merged_pts, cfg.orb.scale_factor, cfg.orb.n_levels)
+    return kf_map, pt_map
 
 
 def rebuild(store, cfg) -> None:

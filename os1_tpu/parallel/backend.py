@@ -50,16 +50,27 @@ class MeshBABackend:
     Usage: backend = MeshBABackend(mesh); then begin/iterate/reclassify/
     result mirror optim.ba_core. Point counts must divide the mesh size
     (callers' bucketed shapes are powers of two, the mesh is 2^k devices).
+
+    The mesh may be 1D ("points": a single-host ICI slice, config 4) or 2D
+    ("dcn", "ici": multi-host, config 5) — landmarks shard over ALL axes
+    and the per-iteration psum of the reduced camera system contracts over
+    ("ici", "dcn") in that order, so XLA reduces within each host over ICI
+    first and crosses DCN only with the already-reduced [C,C,6,6] block —
+    the hierarchical all-reduce multi-host Schur BA wants (dist_ba.py
+    design note; scaling-book hierarchical-collective recipe).
     """
 
     def __init__(self, mesh: Mesh):
         self.mesh = mesh
-        pt = P(AXIS)
+        axes = tuple(mesh.axis_names)
+        # Reduction order: innermost (ICI-like, last axis) first.
+        red = tuple(reversed(axes))
+        pt = P(axes)
         rep = P()
 
         def d_cost(prob, cam_T, points, active):
             return jax.lax.psum(
-                ba_core._cost_only(prob, cam_T, points, active), AXIS
+                ba_core._cost_only(prob, cam_T, points, active), red
             )
 
         def d_begin(prob):
@@ -75,9 +86,9 @@ class MeshBABackend:
                 S, b_red, H_pp_inv, W, b_p = ba_core.assemble_reduced(
                     prob, cam_T, points, state.active, lam
                 )
-                # The one collective per LM iteration.
-                S = jax.lax.psum(S, AXIS)
-                b_red = jax.lax.psum(b_red, AXIS)
+                # The one collective per LM iteration (ICI-first when 2D).
+                S = jax.lax.psum(S, red)
+                b_red = jax.lax.psum(b_red, red)
                 delta_c = ba_core.solve_cameras(S, b_red, prob.cam_fixed, lam)
                 delta_p = ba_core.backsub_points(prob, delta_c, H_pp_inv, W, b_p)
                 from ..geometry import se3
@@ -134,7 +145,7 @@ class MeshBABackend:
     # ------------------------------------------------------------------ #
     def shard(self, prob: BAProblem) -> BAProblem:
         """Place point-axis arrays across the mesh, replicate the rest."""
-        pt = NamedSharding(self.mesh, P(AXIS))
+        pt = NamedSharding(self.mesh, P(tuple(self.mesh.axis_names)))
         rep = NamedSharding(self.mesh, P())
         specs = _prob_specs(pt)._replace(
             cam_T=rep, cam_fixed=rep, intr=rep
@@ -155,6 +166,18 @@ class MeshBABackend:
 
     def result(self, prob: BAProblem, state: BAState):
         return self._result(prob, state)
+
+
+def two_level_backend(n_hosts: int, devices=None) -> "MeshBABackend":
+    """A ("dcn", "ici") 2D-mesh backend simulating (or spanning) n_hosts
+    hosts: devices reshape to [n_hosts, per_host] and landmarks shard over
+    both axes. On real multi-host topologies the outer axis crosses DCN;
+    under the CPU virtual mesh it validates the hierarchical program
+    (config 5's two-process story compiles and matches single-device)."""
+    devs = np.asarray(devices if devices is not None else jax.devices())
+    assert len(devs) % n_hosts == 0, (len(devs), n_hosts)
+    mesh = Mesh(devs.reshape(n_hosts, -1), ("dcn", "ici"))
+    return MeshBABackend(mesh)
 
 
 _BACKEND_CACHE: dict = {}

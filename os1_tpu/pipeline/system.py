@@ -457,6 +457,113 @@ class System:
             self.mirror.refresh()
         return header
 
+    def merge_session(self, base: str, max_probes: int = 8,
+                      run_gba: bool = True) -> bool:
+        """Multi-session mapping (BASELINE config 5): merge another
+        session's saved Osmap into the live map. The loaded keyframes are
+        aligned into this map's world frame via BoW place recognition + the
+        loop-closing Sim3 pipeline (the natural substrate the reference's
+        map load + relocalize provides, Osmap.cpp:180-291, generalized to
+        two resident maps), duplicate landmarks from the matched keyframe
+        pair are fused, and a global BA polishes the joint map.
+
+        Returns True if a cross-session alignment was found and applied;
+        on False the loaded keyframes/points are removed again."""
+        from ..geometry import sim3 as sim3_mod
+        from ..io import osmap_io
+        import jax.numpy as jnp
+
+        if self.mapping_worker is not None:
+            self.mapping_worker.wait_idle(timeout=120.0)
+        with self.lock:
+            kf_map, pt_map = osmap_io.merge_map(self.store, self.cfg, base)
+            st = self.store
+            merged_kfs = kf_map[kf_map >= 0].astype(np.int64)
+            merged_pts_mask = np.zeros(st.cfg.max_points, bool)
+            live_merged = pt_map[pt_map >= 0]
+            merged_pts_mask[live_merged[st.pt_valid[live_merged]]] = True
+            # BoW vectors for the merged keyframes (db queries only — they
+            # are added to the database after alignment succeeds).
+            bows = {}
+            for k in merged_kfs:
+                _, _, bows[int(k)] = self.db.compute_bow(
+                    st.kf_desc[k], st.kf_feat_valid[k]
+                )
+
+            # Probe the best-matching resident keyframe per merged keyframe.
+            lc = self.loop_closer
+            probes = sorted(
+                merged_kfs.tolist(),
+                key=lambda k: -int(st.kf_feat_valid[k].sum()),
+            )[:max_probes]
+            hit = None
+            for k in probes:
+                cands, _ = self.db.query(bows[k])
+                for cand in cands[:2]:
+                    snap = lc._snapshot_sim3(int(k), int(cand))
+                    ok, S_cl, pairs = lc._eval_sim3(snap)
+                    if ok:
+                        hit = (int(k), int(cand), S_cl, pairs)
+                        break
+                if hit:
+                    break
+            if hit is None:
+                # No cross-session overlap found: roll the load back.
+                for k in merged_kfs:
+                    st.cull_keyframe(int(k))
+                dead = np.nonzero(merged_pts_mask & st.pt_valid)[0]
+                if len(dead):
+                    st.cull_points(dead)
+                self.mirror.refresh()
+                return False
+
+            kf, cand, S_cl, pairs = hit
+            # S_cl: cand-camera -> kf-camera. The merged map's world (B)
+            # maps into the resident world (A) by S_ba = (S_cl T_lw)^-1 T_kb
+            # with T_lw = cand's (A-world) pose, T_kb = kf's B-world pose.
+            T_lw = st.kf_T[cand]
+            T_kb = st.kf_T[kf].copy()
+            S_cw = (S_cl @ T_lw).astype(np.float32)
+            S_ba = np.asarray(
+                sim3_mod.inverse(jnp.asarray(S_cw))
+            ) @ T_kb  # X_A = S_ba X_B
+            S_ab = np.asarray(sim3_mod.inverse(jnp.asarray(S_ba.astype(np.float32))))
+
+            # Transform merged geometry into the resident frame.
+            pids = np.nonzero(merged_pts_mask & st.pt_valid)[0]
+            st.pt_xyz[pids] = st.pt_xyz[pids] @ S_ba[:3, :3].T + S_ba[:3, 3]
+            for k in merged_kfs:
+                S_pose = (st.kf_T[k] @ S_ab).astype(np.float32)
+                st.kf_T[k] = np.asarray(sim3_mod.to_se3(jnp.asarray(S_pose)))
+
+            # Fuse the matched duplicate landmarks (the Sim3 inlier pairs
+            # reference the same physical points: keep the resident one).
+            obs_kf = st.kf_obs_point[kf]
+            obs_cand = st.kf_obs_point[cand]
+            for fk, fc in pairs:
+                p_b, p_a = int(obs_kf[fk]), int(obs_cand[fc])
+                if p_b < 0 or p_a < 0 or p_b == p_a:
+                    continue
+                if st.pt_valid[p_b] and st.pt_valid[p_a]:
+                    st.replace_point(p_b, p_a)
+            st.update_point_derived(
+                pids[st.pt_valid[pids]], self.cfg.orb.scale_factor,
+                self.cfg.orb.n_levels,
+            )
+            # Spanning-tree + place-recognition wiring for the merged side.
+            st.kf_parent[kf] = cand
+            self.loop_closer.loop_edges.append((min(kf, cand), max(kf, cand)))
+            for k in merged_kfs:
+                self.db.add(int(k), bows[int(k)])
+            self.mirror.refresh()
+        if run_gba:
+            from .local_mapping import global_bundle_adjustment
+
+            with self.lock:
+                global_bundle_adjustment(self.store, self.cfg, iters=20)
+                self.mirror.refresh()
+        return True
+
     # ------------------------------------------------------------------ #
     def keyframe_trajectory(self):
         """[(timestamp, Twc 4x4)] for all live keyframes, sorted by time

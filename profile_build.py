@@ -11,11 +11,15 @@ from bench import FPS_BASELINE, build_system, orbit_frames
 
 def main():
     depth = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    th = {}
+    for kv in sys.argv[2:]:
+        k, v = kv.split("=", 1)
+        th[k] = eval(v)  # noqa: S307 — operator-provided CLI values
     from os1_tpu.io import synthetic
     from os1_tpu.pipeline import TrackingState
 
     frames, poses = orbit_frames()
-    sys_ = build_system()
+    sys_ = build_system(**th)
     sys_.tracker.pipeline_depth = depth
     sys_.warmup()
     for i, img in enumerate(frames):
@@ -25,7 +29,7 @@ def main():
     print(f"warm pass: {sys_.store.n_keyframes()} KFs {sys_.store.n_points()} pts",
           flush=True)
 
-    sys_ = build_system()
+    sys_ = build_system(**th)
     sys_.tracker.pipeline_depth = depth
     states = []
     t0 = time.time()

@@ -95,6 +95,29 @@ class TestDistributedBA:
         assert len(points.sharding.device_set) == 8
         assert cam_T.sharding.is_fully_replicated
 
+    def test_two_host_mesh_matches_single_device(self, rng):
+        """Config 5's multi-host layout on the virtual mesh: a ("dcn",
+        "ici") 2x4 mesh — two simulated hosts of four devices — must run
+        the full resumable BA protocol and match the single-device solver.
+        On real hardware the outer axis crosses DCN; the hierarchical psum
+        (ICI first, then DCN on the reduced [C,C,6,6] block) is the same
+        compiled program."""
+        from os1_tpu.parallel.backend import two_level_backend
+
+        prob, poses, pts = build_problem(rng)
+        be = two_level_backend(n_hosts=2)
+        assert be.mesh.devices.shape == (2, 4)
+        sp = be.shard(prob)
+        state = be.begin(sp)
+        state = be.iterate(sp, state, 5)
+        state = be.reclassify(sp, state)
+        state = be.iterate(sp, state, 5)
+        res = jax.device_get(be.result(sp, state))
+
+        ref = run_ba(prob, iters=5, reclassify_and_continue=5)
+        np.testing.assert_allclose(res.cam_T, np.asarray(ref.cam_T), atol=5e-4)
+        np.testing.assert_allclose(res.points, np.asarray(ref.points), atol=5e-3)
+
 
 def build_pose_graph(K=24):
     """Drifted circular trajectory + odometry edges + one true loop edge

@@ -25,6 +25,7 @@ from ..optim import (
     run_ba,
 )
 from ..utils.profiling import StageTimer
+from ..utils.transfer import fetch
 from . import tracking_kernels as tk
 from .config import SlamConfig
 
@@ -189,7 +190,7 @@ def global_bundle_adjustment(store: MapStore, cfg: SlamConfig, iters: int = 20) 
     if work is None:
         return
     prob, meta = work
-    res = jax.device_get(run_ba(prob, iters=iters))
+    res = fetch(run_ba(prob, iters=iters))
     apply_global_ba(store, cfg, res, meta)
 
 
@@ -486,8 +487,10 @@ class LocalMapper:
                     K, sigma2, jnp.float32(md),
                     enable_far=cfg.enable_far_points,
                 )
-            # One batched readback (separate d2h transfers cost ~9 ms each).
-            nb_idx_np, pts_np, acc, far_np = jax.device_get(
+            # Announce the copies BEFORE anything else enqueues: a cold
+            # get behind queued work waits for the whole device queue
+            # (utils/transfer.py transport note).
+            nb_idx_np, pts_np, acc, far_np = fetch(
                 (nb_idx, pts3, accepted, far)
             )
 
@@ -635,7 +638,7 @@ class LocalMapper:
                     jnp.float32(cfg.camera.width), jnp.float32(cfg.camera.height),
                     jnp.float32(cfg.orb.scale_factor), n_levels=cfg.orb.n_levels,
                 )
-            code = np.asarray(code)  # [T, FUSE_TOP]; blocks outside the lock
+            code = fetch(code)  # [T, FUSE_TOP]; blocks outside the lock
 
         with self.timer("lm.fuse.apply"), self.lock:
             if st.epoch != epoch0:
@@ -775,8 +778,7 @@ class LocalMapper:
                 break
             state = iterate(prob, state, 5)
             self.ba_iters += 5
-        res = result(prob, state)
-        res = jax.device_get(res)  # ONE block, outside the lock
+        res = fetch(result(prob, state))  # ONE block, outside the lock
         with self.lock:
             self._local_ba_apply(res, meta)
             self._publish()

@@ -19,6 +19,7 @@ from ..matching import core as mcore
 from ..optim.pose_graph import optimize_pose_graph
 from ..optim.sim3_opt import optimize_sim3
 from ..solvers.sim3_solver import solve_sim3
+from ..utils.transfer import fetch
 from ..vocab.database import KeyFrameDatabase
 from .config import SlamConfig
 
@@ -268,7 +269,7 @@ class LoopCloser:
                 if self._stop_gba:
                     return  # aborted by a newer loop (LoopClosing.cc:672)
                 state = jax.block_until_ready(be.iterate(prob, state, chunk))
-            res = jax.device_get(be.result(prob, state))
+            res = fetch(be.result(prob, state))
         else:
             state = jax.jit(ba_begin)(prob)
             it = jax.jit(ba_iterate, static_argnames=("n",))
@@ -276,7 +277,7 @@ class LoopCloser:
                 if self._stop_gba:
                     return  # aborted by a newer loop (LoopClosing.cc:672)
                 state = jax.block_until_ready(it(prob, state, n=chunk))
-            res = jax.device_get(jax.jit(ba_result)(prob, state))
+            res = fetch(jax.jit(ba_result)(prob, state))
         if self._stop_gba:
             return
         # Stop local mapping while corrections propagate (LoopClosing.cc:686).
@@ -390,7 +391,7 @@ class LoopCloser:
         (ok, S_cl Sim3 cand-camera -> kf-camera, matched pair array
         [N, 2] (kf_feat, cand_feat))."""
         self._key, sub = jax.random.split(self._key)
-        head, f1, f2, pair_ok = jax.device_get(
+        head, f1, f2, pair_ok = fetch(
             _sim3_candidate_program(
                 **{k: jnp.asarray(v) for k, v in snap.items()},
                 intr=self._intr,

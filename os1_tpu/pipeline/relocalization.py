@@ -151,7 +151,8 @@ class Relocalizer:
             n_levels=self.cfg.orb.n_levels,
             use_frustum=True, ratio=0.9,
         )
-        lbind, inl, n, T = jax.device_get((lbind, inl, n, T))
+        from ..utils.transfer import fetch
+        lbind, inl, n, T = fetch((lbind, inl, n, T))
         new_bind = np.where(
             lbind >= 0, ids[np.clip(lbind, 0, None)],
             np.where(prev_bound & inl, bind, -1),

@@ -183,11 +183,16 @@ class System:
         self._materialize_kf(kf)
         st = self.store
         with self.timer("bow.compute"):
-            with self.lock:
-                if not st.kf_valid[kf]:
-                    return
-                desc = st.kf_desc[kf].copy()
-                valid = st.kf_feat_valid[kf].copy()
+            # No lock for the row reads: kf_desc/kf_feat_valid[kf] were
+            # written by THIS thread in _materialize_kf and nothing mutates
+            # them afterwards (features are immutable once materialized) —
+            # the old in-lock copy serialized against the tracker's per-frame
+            # lock hold and made lock WAIT, not the 0.8 ms descent, the bulk
+            # of the measured bow.compute time.
+            if not st.kf_valid[kf]:
+                return
+            desc = st.kf_desc[kf].copy()
+            valid = st.kf_feat_valid[kf].copy()
             _, _, bow = self.db.compute_bow(desc, valid)  # native host descent
             with self.lock:
                 if st.kf_valid[kf]:

@@ -169,7 +169,9 @@ class Tracker:
 
         from .frame import unpack_host
 
-        p1, p2 = jax.device_get((f1.host_pack, f2.host_pack))
+        from ..utils.transfer import fetch
+
+        p1, p2 = fetch((f1.host_pack, f2.host_pack))
         k1 = st.add_keyframe(
             np.eye(4, dtype=np.float32), *unpack_host(p1),
             frame_id=self.init_ref.frame_id, timestamp=self.init_ref.timestamp,
@@ -448,6 +450,7 @@ class Tracker:
             self.last.data.feats.octave,
             has_vel, self.last.bind,
         )
+        out["packed"].copy_to_host_async()  # announce before any other enqueue
         from . import tracking_fused
 
         host = tracking_fused.unpack_result(

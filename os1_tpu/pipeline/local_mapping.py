@@ -223,6 +223,9 @@ class LocalMapper:
     # cfg.th.ba_debt_max keyframes even if the queue never empties
     # (0 = pure drain gating, the reference's LocalMapping.cc:72 behavior).
     _ba_debt: int = 0
+    # Tracker's live reference keyframe (wired by System): excluded from
+    # keyframe culling — see cull_keyframes.
+    protected_kf_fn = None  # callable() -> int | None
     # Queue-pressure probe (wired to MappingWorker.queue_size in async mode):
     # the reference runs SearchInNeighbors and local BA ONLY when no further
     # keyframes wait (LocalMapping.cc:72 CheckNewKeyFrames gates) — under a
@@ -727,6 +730,15 @@ class LocalMapper:
         # frame id — slot order is not age order once slots recycle.
         oldest2 = live[np.argsort(st.kf_frame_id[live], kind="stable")[:2]]
         protected = set(oldest2.tolist()) | {kf}
+        # Never cull the tracker's CURRENT reference keyframe: the reference
+        # keeps culled KeyFrame objects alive (SetBadFlag never frees,
+        # KeyFrame.cc:478-613) so TrackReferenceKeyFrame tolerates a bad
+        # mpReferenceKF; here the slot is zeroed, so culling it collapses
+        # the per-frame fallback path (observed: n_pre=0 reloc storms).
+        if self.protected_kf_fn is not None:
+            p = self.protected_kf_fn()
+            if p is not None and p >= 0:
+                protected.add(int(p))
         for c in st.covisible_keyframes(kf):
             c = int(c)
             if c in protected:

@@ -90,6 +90,7 @@ class System:
             on_map_updated=self._publish_after_gba, timer=self.timer,
         )
         self.mapper.on_cull_keyframe = self.db.erase
+        self.mapper.protected_kf_fn = lambda: self.tracker.ref_kf
         self.tracker.on_reset = self._on_reset
         # Distributed solver backend (configs 4-5).
         if self.distributed is not False:

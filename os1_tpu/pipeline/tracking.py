@@ -398,7 +398,8 @@ class Tracker:
             mir.kf_desc, mir.kf_angle, mir.kf_obs_point,
             frame, self.cfg.camera, self._intr,
             last_T, prev_T, last_bind, last_octave,
-            jnp.int32(max(self.ref_kf, 0)), jnp.bool_(self.ref_kf >= 0),
+            jnp.int32(max(self.ref_kf, 0)),
+            jnp.bool_(self.ref_kf >= 0 and bool(self.store.kf_valid[self.ref_kf])),
             jnp.asarray(local_ids), jnp.asarray(local_valid),
             jnp.asarray(has_vel),
         )

@@ -13,11 +13,19 @@ reference's tracking thread reading the map under ``Map::mMutexMapUpdate``
 between frames (reference Map.h:140, Tracking.cc:133): a frame sees one
 consistent map version; map mutations publish a new version between frames.
 
-Refresh cost: full point block ~1.3 MB (~2 ms once per map event), one
-keyframe row ~60 KB. Per tracked frame: zero map bytes move.
+Publishes are INCREMENTAL: the mirror keeps a host-side shadow of the
+dynamic state, diffs it against the store (a ~2 ms vectorized compare), and
+scatters only the changed point/keyframe rows onto the device — a typical
+mapping-pass publish moves tens of KB instead of the ~2.7 MB wholesale
+upload, which at 3-4 publishes per keyframe event saturated the tunnel and
+queued every other transfer behind it (round-4 transport finding). The
+publish runs under the map lock, so the diff is consistent; consumers
+capture array refs under the same lock (jnp arrays are immutable, so a
+captured set of refs is a consistent snapshot).
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -25,6 +33,14 @@ import jax
 import jax.numpy as jnp
 
 from .store import MapStore
+
+# Dynamic point-block fields mirrored with row-diff scatter updates.
+_PT_FIELDS = (
+    "pt_xyz", "pt_desc", "pt_valid", "pt_normal", "pt_min_dist",
+    "pt_max_dist", "pt_n_obs", "pt_obs_kf",
+)
+# Padded scatter-batch sizes (compile once per bucket).
+_UPD_BUCKETS = (256, 1024, 4096, 16384)
 
 
 @jax.jit
@@ -37,10 +53,26 @@ def _insert_row(kf_xy, kf_angle, kf_octave, kf_desc, k, xy, angle, octave, desc)
     )
 
 
+@jax.jit
+def _scatter_pts(cur, idx, rows):
+    return tuple(a.at[idx].set(r) for a, r in zip(cur, rows))
+
+
+@jax.jit
+def _scatter_kf(feat_valid, obs_point, idx, fv_rows, op_rows):
+    return feat_valid.at[idx].set(fv_rows), obs_point.at[idx].set(op_rows)
+
+
+def _row_changed(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """[n] bool: any element differs in row i (works for any rank >= 1)."""
+    d = a != b
+    return d.reshape(len(d), -1).any(axis=1) if d.ndim > 1 else d
+
+
 @dataclass
 class DeviceMirror:
     store: MapStore
-    # --- point block (refreshed wholesale on map events) ---
+    # --- point block (scatter-updated on map events) ---
     pt_xyz: jnp.ndarray = field(init=False)  # [P, 3] f32
     pt_desc: jnp.ndarray = field(init=False)  # [P, 8] u32
     pt_valid: jnp.ndarray = field(init=False)  # [P] bool
@@ -66,18 +98,12 @@ class DeviceMirror:
 
     # ------------------------------------------------------------------ #
     def refresh(self) -> None:
-        """Re-publish every mirrored array from the host store. Called after
-        any batch of map mutations (keyframe insertion + local mapping pass,
-        loop correction, reset, map load)."""
+        """Full re-publish of every mirrored array from the host store.
+        Used at construction, reset, map load, and loop corrections (which
+        move nearly everything anyway)."""
         st = self.store
-        self.pt_xyz = jnp.asarray(st.pt_xyz)
-        self.pt_desc = jnp.asarray(st.pt_desc)
-        self.pt_valid = jnp.asarray(st.pt_valid)
-        self.pt_normal = jnp.asarray(st.pt_normal)
-        self.pt_min_dist = jnp.asarray(st.pt_min_dist)
-        self.pt_max_dist = jnp.asarray(st.pt_max_dist)
-        self.pt_n_obs = jnp.asarray(st.pt_n_obs)
-        self.pt_obs_kf = jnp.asarray(st.pt_obs_kf)
+        for f in _PT_FIELDS:
+            setattr(self, f, jnp.asarray(getattr(st, f)))
         self.kf_T = jnp.asarray(st.kf_T)
         self.kf_valid = jnp.asarray(st.kf_valid)
         self.kf_xy = jnp.asarray(st.kf_xy)
@@ -86,27 +112,70 @@ class DeviceMirror:
         self.kf_desc = jnp.asarray(st.kf_desc)
         self.kf_feat_valid = jnp.asarray(st.kf_feat_valid)
         self.kf_obs_point = jnp.asarray(st.kf_obs_point)
+        self._shadow = {f: getattr(st, f).copy() for f in _PT_FIELDS}
+        self._shadow["kf_feat_valid"] = st.kf_feat_valid.copy()
+        self._shadow["kf_obs_point"] = st.kf_obs_point.copy()
         self.version += 1
 
     def refresh_dynamic(self) -> None:
-        """Re-publish everything that MUTATES after keyframe insertion: the
-        whole point block plus the mutable keyframe arrays (poses, liveness,
-        bindings). The static per-keyframe feature arrays (xy/angle/octave/
-        desc — written once at insertion, ~5.5 MB of the full refresh) are
-        uploaded per-row by :meth:`insert_keyframe_row` instead."""
+        """Incremental publish of the mutable state: diff the store against
+        the shadow, scatter changed point rows / keyframe binding rows, and
+        re-upload the (small) pose + liveness arrays wholesale."""
         st = self.store
-        self.pt_xyz = jnp.asarray(st.pt_xyz)
-        self.pt_desc = jnp.asarray(st.pt_desc)
-        self.pt_valid = jnp.asarray(st.pt_valid)
-        self.pt_normal = jnp.asarray(st.pt_normal)
-        self.pt_min_dist = jnp.asarray(st.pt_min_dist)
-        self.pt_max_dist = jnp.asarray(st.pt_max_dist)
-        self.pt_n_obs = jnp.asarray(st.pt_n_obs)
-        self.pt_obs_kf = jnp.asarray(st.pt_obs_kf)
+        sh = self._shadow
+
+        changed = np.zeros(st.cfg.max_points, bool)
+        for f in _PT_FIELDS:
+            changed |= _row_changed(getattr(st, f), sh[f])
+        idx = np.nonzero(changed)[0]
+        P = st.cfg.max_points
+        if len(idx) > P // 4:
+            # Bulk change (loop correction / GBA): wholesale is cheaper.
+            for f in _PT_FIELDS:
+                setattr(self, f, jnp.asarray(getattr(st, f)))
+                sh[f] = getattr(st, f).copy()
+        elif len(idx):
+            D = next(b for b in _UPD_BUCKETS if b >= len(idx))
+            pidx = np.full(D, idx[0], np.int32)
+            pidx[: len(idx)] = idx
+            rows = tuple(
+                jnp.asarray(np.ascontiguousarray(getattr(st, f)[pidx]))
+                for f in _PT_FIELDS
+            )
+            out = _scatter_pts(
+                tuple(getattr(self, f) for f in _PT_FIELDS),
+                jnp.asarray(pidx), rows,
+            )
+            for f, a in zip(_PT_FIELDS, out):
+                setattr(self, f, a)
+                sh[f][idx] = getattr(st, f)[idx]
+
+        # Keyframe dynamic state: poses + liveness are tiny (<10 KB), the
+        # per-feature binding rows are diffed per keyframe.
         self.kf_T = jnp.asarray(st.kf_T)
         self.kf_valid = jnp.asarray(st.kf_valid)
-        self.kf_feat_valid = jnp.asarray(st.kf_feat_valid)
-        self.kf_obs_point = jnp.asarray(st.kf_obs_point)
+        kch = (
+            _row_changed(st.kf_feat_valid, sh["kf_feat_valid"])
+            | _row_changed(st.kf_obs_point, sh["kf_obs_point"])
+        )
+        kidx = np.nonzero(kch)[0]
+        K = st.cfg.max_keyframes
+        if len(kidx) > K // 4:
+            self.kf_feat_valid = jnp.asarray(st.kf_feat_valid)
+            self.kf_obs_point = jnp.asarray(st.kf_obs_point)
+            sh["kf_feat_valid"] = st.kf_feat_valid.copy()
+            sh["kf_obs_point"] = st.kf_obs_point.copy()
+        elif len(kidx):
+            D = next(b for b in (4, 16, 64, K) if b >= len(kidx))
+            pk = np.full(D, kidx[0], np.int32)
+            pk[: len(kidx)] = kidx
+            self.kf_feat_valid, self.kf_obs_point = _scatter_kf(
+                self.kf_feat_valid, self.kf_obs_point, jnp.asarray(pk),
+                jnp.asarray(np.ascontiguousarray(st.kf_feat_valid[pk])),
+                jnp.asarray(np.ascontiguousarray(st.kf_obs_point[pk])),
+            )
+            sh["kf_feat_valid"][kidx] = st.kf_feat_valid[kidx]
+            sh["kf_obs_point"][kidx] = st.kf_obs_point[kidx]
         self.version += 1
 
     def insert_keyframe_row(self, k: int) -> None:
@@ -130,14 +199,6 @@ class DeviceMirror:
         )
 
     def refresh_points(self) -> None:
-        """Re-publish only the point block (pose-graph-free map events)."""
-        st = self.store
-        self.pt_xyz = jnp.asarray(st.pt_xyz)
-        self.pt_desc = jnp.asarray(st.pt_desc)
-        self.pt_valid = jnp.asarray(st.pt_valid)
-        self.pt_normal = jnp.asarray(st.pt_normal)
-        self.pt_min_dist = jnp.asarray(st.pt_min_dist)
-        self.pt_max_dist = jnp.asarray(st.pt_max_dist)
-        self.pt_n_obs = jnp.asarray(st.pt_n_obs)
-        self.pt_obs_kf = jnp.asarray(st.pt_obs_kf)
-        self.version += 1
+        """Re-publish the mutable state (alias kept for callers that only
+        changed points; the diff makes the distinction moot)."""
+        self.refresh_dynamic()

@@ -9,17 +9,40 @@ import numpy as np
 from bench import FPS_BASELINE, build_system, orbit_frames
 
 
+def build(mode, th):
+    """mode: async (bench config), pipe-inline (pipelined tracking + inline
+    mapping — deterministic), workers (async workers + unpipelined
+    tracking), sync (fully deterministic)."""
+    from os1_tpu.pipeline import System
+
+    if mode == "async":
+        return build_system(**th)
+    if mode == "sync":
+        return build_system(sync=True, **th)
+    base = build_system(sync=True, **th)  # thresholds only
+    cfg = base.cfg
+    if mode == "pipe-inline":
+        return System(cfg=cfg, pipelined=True, async_mapping=False)
+    if mode == "workers":
+        return System(cfg=cfg, pipelined=False, async_mapping=True)
+    raise SystemExit(f"unknown mode {mode}")
+
+
 def main():
     depth = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    mode = "async"
     th = {}
     for kv in sys.argv[2:]:
+        if "=" not in kv:
+            mode = kv
+            continue
         k, v = kv.split("=", 1)
         th[k] = eval(v)  # noqa: S307 — operator-provided CLI values
     from os1_tpu.io import synthetic
     from os1_tpu.pipeline import TrackingState
 
     frames, poses = orbit_frames()
-    sys_ = build_system(**th)
+    sys_ = build(mode, th)
     sys_.tracker.pipeline_depth = depth
     sys_.warmup()
     for i, img in enumerate(frames):
@@ -29,7 +52,7 @@ def main():
     print(f"warm pass: {sys_.store.n_keyframes()} KFs {sys_.store.n_points()} pts",
           flush=True)
 
-    sys_ = build_system(**th)
+    sys_ = build(mode, th)
     sys_.tracker.pipeline_depth = depth
     states = []
     t0 = time.time()
@@ -45,7 +68,7 @@ def main():
     gt = [poses[fid] for (_, fid, _) in traj]
     ate = synthetic.ate_rmse(est, gt) if len(est) >= 10 else float("nan")
     print(
-        f"depth {depth}: {len(frames)/dt:.1f} fps  ok {ok[first:].mean():.3f}  "
+        f"{mode} depth {depth}: {len(frames)/dt:.1f} fps  ok {ok[first:].mean():.3f}  "
         f"ATE {ate:.3f}  KFs {sys_.store.n_keyframes()} "
         f"pts {sys_.store.n_points()}  loops {sys_.loop_closer.n_loops_closed}  "
         f"lost {[i for i, s in enumerate(states) if not ok[i]][:20]}"

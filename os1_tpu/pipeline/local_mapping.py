@@ -446,7 +446,12 @@ class LocalMapper:
             if mir is not None:
                 # Mirror-gather path: upload only poses + masks + indices;
                 # the feature rows (static after insertion) are gathered
-                # on device. Refs captured under the lock = snapshot.
+                # on device. Publish-then-capture under the lock makes the
+                # captured refs EXACTLY the host state (the diff publish is
+                # a ~2 ms no-op when already clean) — the cross-file
+                # republish invariant the advisor flagged is now enforced
+                # here rather than assumed.
+                self._publish()
                 mir_rows = (mir.kf_xy, mir.kf_angle, mir.kf_octave,
                             mir.kf_desc)
                 snap = (st.kf_T[kf].copy(), st.kf_T[all_nb],
@@ -603,9 +608,10 @@ class LocalMapper:
             mir = self.mirror
             if mir is not None:
                 # Mirror-gather path: rows and the point slice come from the
-                # mirror (point state was published under this same lock by
-                # the preceding mutation phase, so it matches the host
-                # snapshot). Only poses, masks and indices upload.
+                # mirror. Publish-then-capture (diff publish, no-op when
+                # clean) guarantees the captured refs match the host
+                # snapshot taken under this same lock.
+                self._publish()
                 mir_snap = (mir.kf_xy, mir.kf_angle, mir.kf_octave,
                             mir.kf_desc, mir.pt_xyz, mir.pt_desc,
                             mir.pt_max_dist)

@@ -233,3 +233,58 @@ class TestDatabaseAtScale:
         if len(cands):
             assert all(int(c) % self.N_SCENE == k % self.N_SCENE
                        for c in cands[:1])
+
+
+class TestRecallAtScaleRealDescriptors:
+    """Precision/recall of the packaged (reference-scale) vocabulary on
+    REAL extracted ORB descriptors: 520 database keyframes from distinct
+    rendered textures, queried with re-observations (bit noise + 30%
+    replaced descriptors — a proxy for viewpoint change). The uniform-random
+    descriptor tests above validate the protocol; this validates the
+    TRAINED TREE's discriminative power (VERDICT r3 task 8)."""
+
+    N_DB = 520
+    N_QUERY = 60
+
+    def test_top1_recall(self):
+        import jax.numpy as jnp
+
+        from os1_tpu.features.orb import OrbConfig, make_extractor
+        from os1_tpu.io.synthetic import smooth_texture
+        from os1_tpu.vocab import dbow2
+        from os1_tpu.vocab.database import KeyFrameDatabase
+
+        vocab = dbow2.default_vocabulary()
+        db = KeyFrameDatabase(vocab, max_keyframes=self.N_DB)
+        cfg = OrbConfig(height=240, width=320, n_features=256, n_levels=3)
+        extract = make_extractor(cfg)
+        rng = np.random.default_rng(3)
+
+        descs = []
+        for i in range(self.N_DB):
+            img = smooth_texture(240, 320, 16 + (i * 7) % 80, seed=9000 + i)
+            f = extract(jnp.asarray(img))
+            v = np.asarray(f.valid)
+            d = np.zeros((256, 8), np.uint32)
+            d[: v.sum()] = np.asarray(f.desc)[v][:256]
+            descs.append(d)
+            _, _, bow = db.compute_bow(d, np.ones(256, bool))
+            db.add(i, bow)
+
+        hits = 0
+        for q in range(self.N_QUERY):
+            k = int(rng.integers(self.N_DB))
+            d = descs[k].copy()
+            # Re-observation: 30% new descriptors + ~2% bit noise on the rest.
+            repl = rng.choice(256, 77, replace=False)
+            other = int(rng.integers(self.N_DB))
+            d[repl] = descs[other][repl]
+            noise = rng.integers(0, 2**32, size=d.shape, dtype=np.uint32)
+            mask = rng.random(d.shape) < 0.08  # ~2.5% of bits flip
+            d = np.where(mask, d ^ (noise & 0x01010101), d)
+            _, _, bow = db.compute_bow(d, np.ones(256, bool))
+            ids, scores = db.query(bow)
+            if len(ids) and int(ids[0]) == k:
+                hits += 1
+        recall = hits / self.N_QUERY
+        assert recall >= 0.9, f"top-1 recall {recall:.2f} at {self.N_DB} KFs"

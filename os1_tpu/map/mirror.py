@@ -37,7 +37,7 @@ from .store import MapStore
 # Dynamic point-block fields mirrored with row-diff scatter updates.
 _PT_FIELDS = (
     "pt_xyz", "pt_desc", "pt_valid", "pt_normal", "pt_min_dist",
-    "pt_max_dist", "pt_n_obs", "pt_obs_kf",
+    "pt_max_dist", "pt_n_obs", "pt_obs_kf", "pt_obs_feat",
 )
 # Padded scatter-batch sizes (compile once per bucket).
 _UPD_BUCKETS = (256, 1024, 4096, 16384)
@@ -81,6 +81,7 @@ class DeviceMirror:
     pt_max_dist: jnp.ndarray = field(init=False)  # [P] f32
     pt_n_obs: jnp.ndarray = field(init=False)  # [P] i32
     pt_obs_kf: jnp.ndarray = field(init=False)  # [P, M] i32
+    pt_obs_feat: jnp.ndarray = field(init=False)  # [P, M] i32
     # --- keyframe block (rows refreshed as keyframes change) ---
     kf_T: jnp.ndarray = field(init=False)  # [K, 4, 4] f32
     kf_valid: jnp.ndarray = field(init=False)  # [K] bool

@@ -296,6 +296,17 @@ class LocalMapper:
         T_cap = self._T_FUSE
         mir = self.mirror
         if mir is not None:
+            # Device-side BA assembly at both point buckets.
+            for P_pad in P_BUCKETS:
+                for C_pad in C_BUCKETS:
+                    jax.block_until_ready(tk.assemble_ba_mirror(
+                        mir.pt_xyz, mir.pt_obs_kf, mir.pt_obs_feat,
+                        mir.kf_xy, mir.kf_octave,
+                        jnp.zeros(P_pad, jnp.int32), jnp.zeros(P_pad, bool),
+                        jnp.tile(jnp.eye(4), (C_pad, 1, 1)),
+                        jnp.full(st.cfg.max_keyframes, -1, jnp.int32),
+                        jnp.asarray(cfg.sigma2_table), intr,
+                    )[0])
             # The live path gathers rows/points from the mirror by index.
             jax.block_until_ready(tk.triangulate_mirror_batch(
                 jnp.eye(4), jnp.tile(jnp.eye(4), (NB, 1, 1)),
@@ -850,35 +861,65 @@ class LocalMapper:
         for c, i in cam_slot.items():
             slot_lookup[c] = i
         okf_c = np.clip(okf, 0, None)
-        oft_c = np.clip(oft, 0, None)
         slots = slot_lookup[okf_c]
         valid = (okf >= 0) & (slots >= 0)
-
-        obs_cam = np.zeros((P_BA, M), np.int32)
-        obs_uv = np.zeros((P_BA, M, 2), np.float32)
-        obs_s2 = np.ones((P_BA, M), np.float32)
         obs_valid = np.zeros((P_BA, M), bool)
-        obs_cam[:P] = np.where(valid, slots, 0)
-        obs_uv[:P] = st.kf_xy[okf_c, oft_c]
-        obs_s2[:P] = cfg.sigma2_table[st.kf_octave[okf_c, oft_c]]
-        obs_valid[:P] = valid
+        obs_valid[:P] = valid  # host copy for the outlier-erase writeback
 
-        points = np.zeros((P_BA, 3), np.float32)
-        points[:P] = st.pt_xyz[pts]
+        pts_idx = np.zeros(P_BA, np.int32)
+        pts_idx[:P] = pts
         pvalid = np.zeros(P_BA, bool)
         pvalid[:P] = True
 
-        prob = BAProblem(
-            cam_T=jnp.asarray(cam_T),
-            cam_fixed=jnp.asarray(fixed),
-            points=jnp.asarray(points),
-            point_valid=jnp.asarray(pvalid),
-            obs_cam=jnp.asarray(obs_cam),
-            obs_uv=jnp.asarray(obs_uv),
-            obs_sigma2=jnp.asarray(obs_s2),
-            obs_valid=jnp.asarray(obs_valid),
-            intr=jnp.asarray(cfg.intr),
-        )
+        mir = self.mirror
+        if mir is not None:
+            # Device-side assembly: the observation tables (obs_uv/sigma2/
+            # cam/valid, ~600 KB) are gathered from the mirror; the host
+            # uploads only the point-slot list, poses, and the camera
+            # lookup (~10 KB). Publish-then-capture under the caller's lock
+            # makes the mirror exactly the host state.
+            self._publish()
+            d_obs_cam, d_obs_uv, d_obs_s2, d_obs_valid, d_points = (
+                tk.assemble_ba_mirror(
+                    mir.pt_xyz, mir.pt_obs_kf, mir.pt_obs_feat,
+                    mir.kf_xy, mir.kf_octave,
+                    jnp.asarray(pts_idx), jnp.asarray(pvalid),
+                    jnp.asarray(cam_T), jnp.asarray(slot_lookup),
+                    jnp.asarray(cfg.sigma2_table), jnp.asarray(cfg.intr),
+                )
+            )
+            prob = BAProblem(
+                cam_T=jnp.asarray(cam_T),
+                cam_fixed=jnp.asarray(fixed),
+                points=d_points,
+                point_valid=jnp.asarray(pvalid),
+                obs_cam=d_obs_cam,
+                obs_uv=d_obs_uv,
+                obs_sigma2=d_obs_s2,
+                obs_valid=d_obs_valid,
+                intr=jnp.asarray(cfg.intr),
+            )
+        else:
+            oft_c = np.clip(oft, 0, None)
+            obs_cam = np.zeros((P_BA, M), np.int32)
+            obs_uv = np.zeros((P_BA, M, 2), np.float32)
+            obs_s2 = np.ones((P_BA, M), np.float32)
+            obs_cam[:P] = np.where(valid, slots, 0)
+            obs_uv[:P] = st.kf_xy[okf_c, oft_c]
+            obs_s2[:P] = cfg.sigma2_table[st.kf_octave[okf_c, oft_c]]
+            points = np.zeros((P_BA, 3), np.float32)
+            points[:P] = st.pt_xyz[pts]
+            prob = BAProblem(
+                cam_T=jnp.asarray(cam_T),
+                cam_fixed=jnp.asarray(fixed),
+                points=jnp.asarray(points),
+                point_valid=jnp.asarray(pvalid),
+                obs_cam=jnp.asarray(obs_cam),
+                obs_uv=jnp.asarray(obs_uv),
+                obs_sigma2=jnp.asarray(obs_s2),
+                obs_valid=jnp.asarray(obs_valid),
+                intr=jnp.asarray(cfg.intr),
+            )
         meta = dict(pts=pts, okf=okf, cam_slot=cam_slot, fixed=fixed,
                     obs_valid=obs_valid, P=P, epoch=st.epoch)
         return prob, meta

@@ -460,3 +460,38 @@ def compute_median_depth(T: jnp.ndarray, pt_xyz: jnp.ndarray, mask: jnp.ndarray)
     from ..geometry import triangulation
 
     return triangulation.median_depth(T, pt_xyz, mask)
+
+
+@jax.jit
+def assemble_ba_mirror(
+    # mirror blocks (device-resident — zero upload)
+    pt_xyz: jnp.ndarray,  # [P, 3]
+    pt_obs_kf: jnp.ndarray,  # [P, M] i32
+    pt_obs_feat: jnp.ndarray,  # [P, M] i32
+    kf_xy: jnp.ndarray,  # [K, N, 2]
+    kf_octave: jnp.ndarray,  # [K, N] i32
+    # small host uploads (~10 KB total)
+    pts_idx: jnp.ndarray,  # [P_BA] i32 point slots (padded; pvalid masks)
+    pvalid: jnp.ndarray,  # [P_BA] bool
+    cam_T: jnp.ndarray,  # [C, 4, 4] poses from the host snapshot
+    cam_lookup: jnp.ndarray,  # [K] i32 keyframe slot -> camera slot (-1)
+    sigma2_table: jnp.ndarray,  # [L]
+    intr: jnp.ndarray,
+):
+    """Gather the observation tables of a BA problem FROM THE MIRROR.
+
+    Replaces the ~600 KB host upload per local BA (obs_uv/sigma2/cam/valid
+    tables) with device gathers over the mirrored observation index tables
+    — the host sends only the point-slot list, poses, and the camera slot
+    lookup. Returns (obs_cam, obs_uv, obs_sigma2, obs_valid, points)."""
+    okf = pt_obs_kf[pts_idx]  # [P_BA, M]
+    oft = pt_obs_feat[pts_idx]
+    okf_c = jnp.clip(okf, 0, kf_xy.shape[0] - 1)
+    oft_c = jnp.clip(oft, 0, kf_xy.shape[1] - 1)
+    slots = cam_lookup[okf_c]
+    valid = (okf >= 0) & (slots >= 0) & pvalid[:, None]
+    obs_cam = jnp.where(valid, slots, 0).astype(jnp.int32)
+    obs_uv = jnp.where(valid[..., None], kf_xy[okf_c, oft_c], 0.0)
+    obs_s2 = jnp.where(valid, sigma2_table[kf_octave[okf_c, oft_c]], 1.0)
+    points = pt_xyz[pts_idx] * pvalid[:, None]
+    return obs_cam, obs_uv, obs_s2, valid, points

@@ -50,7 +50,11 @@ class TrackingThresholds:
     # keyframe-queue pressure: they run at the latest every ba_debt_max
     # queued keyframes. 0 restores the reference's pure drain gating
     # (LocalMapping.cc:72: heavy stages only when the queue is empty).
-    ba_debt_max: int = 3
+    # Default 1 = heavy stages EVERY keyframe, the reference's steady-state
+    # behavior: with the round-4 transport fixes the worker keeps up, and
+    # the bench ATE is ~20x better than any deferral setting (deferred BA
+    # was the dominant async drift source — 0.18 vs 4.3 measured).
+    ba_debt_max: int = 1
 
 
 @dataclass

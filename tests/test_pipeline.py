@@ -106,9 +106,12 @@ class TestEndToEnd:
         ate = synthetic.ate_rmse(est, gt)
         traj_len = np.linalg.norm(np.diff(
             np.array([-T[:3, :3].T @ T[:3, 3] for T in gt]), axis=0), axis=1).sum()
-        # ATE under 2% of trajectory length (ORB-SLAM2-class accuracy on
-        # a clean synthetic scene).
-        assert ate < 0.02 * traj_len, f"ATE {ate:.4f} over {traj_len:.2f}m"
+        # ATE under 1.5% of the (3 m, 240x320, 40-frame) toy path. The
+        # 0.5%-of-path class bound lives at bench scale where it is
+        # physically meaningful (bench.py gates: 300 frames at 640x480,
+        # sync ATE 0.36-0.65% measured); at this resolution the
+        # triangulation noise floor alone is ~1% of the path.
+        assert ate < 0.015 * traj_len, f"ATE {ate:.4f} over {traj_len:.2f}m"
 
     def test_pipelined_matches_sync(self, sequence):
         """1-frame-lag pipelined tracking (bench mode) must initialize, stay
@@ -132,7 +135,7 @@ class TestEndToEnd:
         ate = synthetic.ate_rmse(est, gt)
         traj_len = np.linalg.norm(np.diff(
             np.array([-T[:3, :3].T @ T[:3, 3] for T in gt]), axis=0), axis=1).sum()
-        assert ate < 0.02 * traj_len, f"ATE {ate:.4f} over {traj_len:.2f}m"
+        assert ate < 0.015 * traj_len, f"ATE {ate:.4f} over {traj_len:.2f}m"
 
     def test_localization_mode_freezes_map(self, sequence):
         frames, poses = sequence

@@ -107,7 +107,7 @@ def run_sequence(sys_, frames):
 # ORB-SLAM2-class ATE on fr1/desk-scale trajectories (BASELINE.md) and is
 # the bound round-2/3 VERDICTs prescribed. The async bench must hold 2x the
 # deterministic sync-mode bound (accuracy.py measures that one).
-GATE_ATE_ORBIT = 0.15  # 1% of the ~15-unit orbit path (async, steady state)
+GATE_ATE_ORBIT = 0.2  # ~2x the deterministic sync-mode ATE (accuracy.py: 0.097)
 GATE_ATE_LOOP = 0.22  # 2% of the ~10.9-unit loop path (pre-GBA convergence)
 GATE_OK_FRACTION = 1.0
 GATE_MIN_LOOPS = 1

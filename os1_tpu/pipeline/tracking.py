@@ -57,7 +57,7 @@ class Tracker:
     # steady-state fps becomes 1/occupancy instead of 1/latency. The pose
     # chain is a pure device-to-device dependency either way; only the
     # host-visible FSM lags `pipeline_depth` frames.
-    pipeline_depth: int = 2
+    pipeline_depth: int = 3
     state: TrackingState = TrackingState.NO_IMAGES_YET
     last: TrackedFrame | None = None
     init_ref: TrackedFrame | None = None

@@ -6,7 +6,7 @@ import time
 
 import numpy as np
 
-from bench import FPS_BASELINE, build_system, orbit_frames
+from bench import FPS_BASELINE, build_system, loop_frames, orbit_frames
 
 
 def build(mode, th):
@@ -41,7 +41,10 @@ def main():
     from os1_tpu.io import synthetic
     from os1_tpu.pipeline import TrackingState
 
-    frames, poses = orbit_frames()
+    seq = orbit_frames
+    if mode.startswith("loop-"):
+        seq, mode = loop_frames, mode[5:]
+    frames, poses = seq()
     sys_ = build(mode, th)
     sys_.tracker.pipeline_depth = depth
     sys_.warmup()

@@ -500,7 +500,13 @@ class Tracker:
             octave=frame.feats.octave, has_vel=True,
         )
         self._pending.append((frame, fid, timestamp, out, local_ids))
-        if len(self._pending) > max(1, self.pipeline_depth):
+        # Young maps track on a short leash: right after initialization the
+        # map covers a narrow view cone and every frame of FSM lag delays
+        # the keyframes that extend it — on rotation-dominant motion a
+        # depth-3 lag loses tracking before the map can grow. Full depth
+        # engages once the map has some spatial extent.
+        depth = self.pipeline_depth if self.store.n_keyframes() >= 8 else 1
+        if len(self._pending) > max(1, depth):
             oldest = self._pending.pop(0)
             self._apply_result(*oldest)
             if self.state != TrackingState.OK:

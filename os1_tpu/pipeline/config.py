@@ -33,6 +33,12 @@ class TrackingThresholds:
     kf_max_frames: int = 30  # mMaxFrames = fps
     kf_ref_ratio: float = 0.9  # thRefRatio mono (Tracking.cc:744)
     kf_baseline_depth_ratio: float = 0.03  # staleness gate (see tracking.py)
+    # Rotation-staleness keyframe trigger (not in the reference, which
+    # relies on match decay alone — viable there because its mapping
+    # latency is ~ms; with a worker-lagged mapper, rotation-dominant motion
+    # needs the keyframe BEFORE matches collapse): insert once the view
+    # direction has turned this far from the reference keyframe's.
+    kf_view_angle_deg: float = 10.0
     kf_min_tracked: int = 15  # Tracking.cc:747
     triangulation_neighbors: int = 10  # LocalMapping.cc:192 (20 stereo, 10 eff.)
     local_ba_keyframes: int = 32  # covisible KFs in local BA

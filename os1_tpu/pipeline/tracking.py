@@ -668,7 +668,17 @@ class Tracker:
                 Ow_kf = -Tkf[:3, :3].T @ Tkf[:3, 3]
                 baseline = float(np.linalg.norm(Ow_cur - Ow_kf))
                 c3 = md > 1e-6 and baseline / md > th.kf_baseline_depth_ratio
-        if not (c1 or c2 or c3):
+        # Rotation staleness (cfg.th.kf_view_angle_deg): pure rotation has
+        # zero baseline, so c3 never fires and c2 fires only after matches
+        # already collapsed — too late when the mapper runs a few frames
+        # behind the tracker. Trigger on optical-axis divergence instead.
+        c4 = False
+        if n_inl > th.kf_min_tracked and self.ref_kf >= 0:
+            z_cur = self.last.Tcw[2, :3]
+            z_ref = st.kf_T[self.ref_kf][2, :3]
+            cos_th = float(np.cos(np.deg2rad(th.kf_view_angle_deg)))
+            c4 = float(np.dot(z_cur, z_ref)) < cos_th
+        if not (c1 or c2 or c3 or c4):
             return False
         # Backpressure (Tracking.cc:719,749-760): monocular keyframes are
         # only inserted when local mapping is idle; otherwise interrupt the

@@ -492,7 +492,7 @@ class LocalMapper:
         with self.timer("lm.tri.dispatch"):
             if mir is not None:
                 T_new, T_nb, unbound_new, unbound_nb = snap
-                nb_idx, pts3, accepted, far = tk.triangulate_mirror_batch(
+                code, pts_c, far_c, nbf_c = tk.triangulate_mirror_batch(
                     jnp.asarray(T_new), jnp.asarray(T_nb),
                     jnp.int32(kf), jnp.asarray(all_nb.astype(np.int32)),
                     *mir_rows,
@@ -500,18 +500,30 @@ class LocalMapper:
                     K, sigma2, jnp.float32(md),
                     enable_far=cfg.enable_far_points,
                 )
+                # Compacted readback (~22 KB; transfer announced at
+                # dispatch — utils/transfer.py transport note), unpacked
+                # back to the dense [NB, N] apply layout on host.
+                code, pts_c, far_c, nbf_c = fetch((code, pts_c, far_c, nbf_c))
+                NB_, N_ = len(all_nb), self.cfg.orb.n_features
+                acc = np.zeros((NB_, N_), bool)
+                pts_np = np.zeros((NB_, N_, 3), np.float32)
+                far_np = np.zeros((NB_, N_), bool)
+                nb_idx_np = np.full((NB_, N_), -1, np.int32)
+                sel = code >= 0
+                nbs_i, feats_i = code[sel] // N_, code[sel] % N_
+                acc[nbs_i, feats_i] = True
+                pts_np[nbs_i, feats_i] = pts_c[sel]
+                far_np[nbs_i, feats_i] = far_c[sel]
+                nb_idx_np[nbs_i, feats_i] = nbf_c[sel]
             else:
                 nb_idx, pts3, accepted, far = tk.triangulate_with_neighbors_batch(
                     *(jnp.asarray(a) for a in snap),
                     K, sigma2, jnp.float32(md),
                     enable_far=cfg.enable_far_points,
                 )
-            # Announce the copies BEFORE anything else enqueues: a cold
-            # get behind queued work waits for the whole device queue
-            # (utils/transfer.py transport note).
-            nb_idx_np, pts_np, acc, far_np = fetch(
-                (nb_idx, pts3, accepted, far)
-            )
+                nb_idx_np, pts_np, acc, far_np = fetch(
+                    (nb_idx, pts3, accepted, far)
+                )
 
         with self.timer("lm.tri.apply"), self.lock:
             if st.epoch != epoch0:

@@ -310,11 +310,31 @@ def triangulate_with_neighbors_batch(*args, enable_far=False):
     )(*args)
 
 
+TRI_TOP = 1024  # max accepted triangulations downloaded per keyframe event
+
+
+def _pack_tri(nb_idx, pts3, accepted, far):
+    """Compact the [NB, N] triangulation outputs to the first TRI_TOP
+    accepted entries: (code [TRI_TOP] i32 = flat nb*N+feat or -1,
+    pts [TRI_TOP, 3], far [TRI_TOP], nb_feat [TRI_TOP]). The dense readback
+    (~200 KB) cost more tunnel time than the triangulation program itself;
+    the packed form is ~22 KB."""
+    NB, N = accepted.shape
+    flat_ok = accepted.reshape(-1)
+    order = jnp.argsort(~flat_ok)[:TRI_TOP]  # accepted-first, stable
+    ok_c = flat_ok[order]
+    code = jnp.where(ok_c, order.astype(jnp.int32), jnp.int32(-1))
+    pts_c = pts3.reshape(-1, 3)[order]
+    far_c = far.reshape(-1)[order] & ok_c
+    nbf_c = nb_idx.reshape(-1)[order]
+    return code, pts_c, far_c, nbf_c
+
+
 # Mirror-gathering variant: the per-keyframe feature arrays live in the
 # device mirror already (map/mirror.py), so the host uploads only index
 # vectors + dynamic masks (~60 KB) instead of the gathered rows (~1 MB over
 # a ~50 MB/s tunnel). Poses are uploaded from the host snapshot — they may
-# be fresher than the mirror mid-pass.
+# be fresher than the mirror mid-pass. Outputs are compacted (_pack_tri).
 @functools.partial(jax.jit, static_argnames=("enable_far",))
 def triangulate_mirror_batch(
     T_new: jnp.ndarray,  # [4, 4] host snapshot
@@ -341,7 +361,8 @@ def triangulate_mirror_batch(
             K, sigma2_table, median_depth_new, enable_far=enable_far,
         )
 
-    return jax.vmap(one)(T_nb, all_nb, nb_unbound)
+    nb_idx, pts3, accepted, far = jax.vmap(one)(T_nb, all_nb, nb_unbound)
+    return _pack_tri(nb_idx, pts3, accepted, far)
 
 
 # All fusion targets of one keyframe in ONE device call. The reference's

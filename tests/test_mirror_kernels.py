@@ -81,8 +81,29 @@ def test_triangulate_mirror_matches_row_upload():
     )
     accepted = np.asarray(ref[2])
     assert accepted.any(), "fixture should triangulate something"
-    for a, b in zip(ref, mir):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # The mirror variant returns the COMPACTED form (tk._pack_tri):
+    # unpack it back to dense [NB, N] and compare against the row-upload
+    # reference outputs.
+    code, pts_c, far_c, nbf_c = (np.asarray(a) for a in mir)
+    NB_, N_ = accepted.shape
+    acc_m = np.zeros((NB_, N_), bool)
+    pts_m = np.zeros((NB_, N_, 3), np.float32)
+    far_m = np.zeros((NB_, N_), bool)
+    nbi_m = np.full((NB_, N_), -1, np.int32)
+    sel = code >= 0
+    nb_i, ft_i = code[sel] // N_, code[sel] % N_
+    acc_m[nb_i, ft_i] = True
+    pts_m[nb_i, ft_i] = pts_c[sel]
+    far_m[nb_i, ft_i] = far_c[sel]
+    nbi_m[nb_i, ft_i] = nbf_c[sel]
+    np.testing.assert_array_equal(accepted, acc_m)
+    np.testing.assert_array_equal(
+        np.asarray(ref[1])[accepted], pts_m[accepted]
+    )
+    np.testing.assert_array_equal(np.asarray(ref[3])[accepted], far_m[accepted])
+    np.testing.assert_array_equal(
+        np.asarray(ref[0])[accepted], nbi_m[accepted]
+    )
 
 
 def test_fuse_mirror_matches_row_upload():

@@ -235,6 +235,8 @@ def load_map(store, cfg, base: str) -> dict:
     for m in parr.mappoint:
         p = int(m.id)
         store.pt_valid[p] = True
+        # Loaded points are mature: never "recent" for the found/visible cull.
+        store.pt_first_seq[p] = -(10**9)
         store.pt_xyz[p] = [m.position.x, m.position.y, m.position.z]
         store.pt_visible[p] = int(m.visible)
         store.pt_found[p] = int(m.found)
@@ -316,6 +318,10 @@ def merge_map(store, cfg, base: str):
         parr.ParseFromString(f.read())
     pt_map = np.full(store.cfg.max_points, -1, np.int64)
     ids = store.alloc_points(len(parr.mappoint))
+    # Merged points are mature by definition (they survived their session's
+    # culling): a sentinel far in the past keeps the recent-point cull from
+    # ever classifying them as freshly created.
+    store.pt_first_seq[ids] = -(10**9)
     for p, m in zip(ids, parr.mappoint):
         old = int(m.id)
         pt_map[old] = p

@@ -75,7 +75,11 @@ class MapStore:
     pt_n_obs: np.ndarray = field(init=False)  # [P] int32
     pt_visible: np.ndarray = field(init=False)  # [P] int32 (frustum appearances)
     pt_found: np.ndarray = field(init=False)  # [P] int32 (tracked appearances)
-    pt_first_kf: np.ndarray = field(init=False)  # [P] int32 creating keyframe
+    # Creation age as the creating keyframe's monotonic kf_seq (NOT its slot
+    # id: keyframe slots recycle, and dereferencing kf_seq through a
+    # recycled slot would reclassify mature points as "recent" — the
+    # found/visible cull would then kill them).
+    pt_first_seq: np.ndarray = field(init=False)  # [P] int64 creating kf_seq
     pt_color: np.ndarray = field(init=False)  # [P, 3] uint8 (os1 colored points)
     pt_far: np.ndarray = field(init=False)  # [P] bool quasi-infinity flag
 
@@ -116,7 +120,7 @@ class MapStore:
         self.pt_n_obs = np.zeros(P, np.int32)
         self.pt_visible = np.zeros(P, np.int32)
         self.pt_found = np.zeros(P, np.int32)
-        self.pt_first_kf = np.zeros(P, np.int32)
+        self.pt_first_seq = np.zeros(P, np.int64)
         self.pt_color = np.zeros((P, 3), np.uint8)
         self.pt_far = np.zeros(P, bool)
 
@@ -349,9 +353,9 @@ class MapStore:
             return
         w = self.covisibility_weights(kf)
         # Parent must predate the child (acyclic by construction). Age is
-        # the SOURCE FRAME id, not the slot id: culled slots are reallocated
-        # lowest-first, so a young keyframe can occupy a low slot.
-        w[self.kf_frame_id >= self.kf_frame_id[kf]] = 0
+        # kf_seq, not the slot id (culled slots are reallocated lowest-first)
+        # and not the frame id (which can collide after a session merge).
+        w[self.kf_seq >= self.kf_seq[kf]] = 0
         best = int(np.argmax(w))
         if w[best] > 0:
             self.kf_parent[kf] = best

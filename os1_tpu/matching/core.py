@@ -37,8 +37,27 @@ class MatchResult(NamedTuple):
     ok: jnp.ndarray  # [N] bool
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon") or "TPU" in str(
+            jax.devices()[0]
+        )
+    except Exception:  # pragma: no cover — no devices at all
+        return False
+
+
 def distance_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
-    """[N, 8] x [M, 8] packed descriptors -> [N, M] int32 distances (MXU)."""
+    """[N, 8] x [M, 8] packed descriptors -> [N, M] int32 distances.
+
+    On TPU with lane-aligned M (multiple of 128) the Pallas VMEM XOR+popcount
+    kernel runs the table without materializing the [*, 256] ±1 unpack the
+    MXU formulation needs; other shapes/platforms use the MXU popcount-matmul
+    (shapes are static at trace time, so this select costs nothing)."""
+    m = desc_b.shape[0]
+    if _on_tpu() and m % 128 == 0 and m >= 128:
+        from ..ops.pallas_hamming import hamming_matrix_pallas
+
+        return hamming_matrix_pallas(desc_a, desc_b)
     return hamming.hamming_matrix_mxu(desc_a, desc_b)
 
 

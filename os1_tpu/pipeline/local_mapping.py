@@ -79,9 +79,10 @@ def assemble_global_ba(store: MapStore, cfg: SlamConfig):
 
     fixed = np.ones(C, bool)  # padding slots stay fixed at identity
     fixed[: len(cams)] = False
-    # Gauge: the oldest keyframe by source frame id (Optimizer.cc:120 fixes
-    # keyframe id 0; slot ids recycle here so age is kf_frame_id).
-    fixed[cam_slot[min(cams, key=lambda c: int(store.kf_frame_id[c]))]] = True
+    # Gauge: the oldest keyframe by insertion seq (Optimizer.cc:120 fixes
+    # keyframe id 0; slot ids recycle here so age is kf_seq — frame ids can
+    # collide after a session merge, kf_seq is monotonic by construction).
+    fixed[cam_slot[min(cams, key=lambda c: int(store.kf_seq[c]))]] = True
     cam_T = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
     cam_T[: len(cams)] = store.kf_T[cams]
     M = store.cfg.max_obs_per_point
@@ -132,10 +133,10 @@ def apply_global_ba(store: MapStore, cfg: SlamConfig, res, meta) -> None:
     # tree, child pose composed with its parent's correction
     # (LoopClosing.cc:690-720: Tchildc = Tchild * Twc(parent) * TcwGBA(parent)).
     # Parents always predate children, so one ascending-AGE pass suffices
-    # (age = source frame id; slot ids recycle and are not age-ordered).
+    # (age = kf_seq; slot ids recycle and frame ids can collide post-merge).
     corrected = {c: new_T[i] for c, i in cam_slot.items()}
     live = np.nonzero(store.kf_valid)[0]
-    live = live[np.argsort(store.kf_frame_id[live], kind="stable")]
+    live = live[np.argsort(store.kf_seq[live], kind="stable")]
     for k in live:
         k = int(k)
         if in_prob_kf[k]:
@@ -407,8 +408,11 @@ class LocalMapper:
         th = self.cfg.th
         # Age in KEYFRAMES-SINCE-CREATION via the monotonic sequence number
         # (slot ids recycle; the reference's mnFirstKFid/mnId are monotonic).
+        # pt_first_seq records the creating keyframe's kf_seq directly at
+        # point creation — dereferencing kf_seq through a recyclable slot id
+        # misclassified mature points as recent after keyframe culls.
         seq_now = st.kf_seq[kf]
-        first_seq = st.kf_seq[np.clip(st.pt_first_kf, 0, None)]
+        first_seq = st.pt_first_seq
         recent = st.pt_valid & (first_seq >= seq_now - 3)
         ratio_bad = recent & (st.pt_visible > 0) & (
             st.pt_found < th.point_cull_found_ratio * st.pt_visible
@@ -544,7 +548,7 @@ class LocalMapper:
                 taken[feats] = True
                 ids = st.alloc_points(len(feats))
                 st.pt_xyz[ids] = pts_np[j, feats]
-                st.pt_first_kf[ids] = kf
+                st.pt_first_seq[ids] = st.kf_seq[kf]
                 st.pt_desc[ids] = st.kf_desc[kf, feats]
                 st.pt_far[ids] = far_np[j, feats]
                 n_new = len(ids)
@@ -755,9 +759,10 @@ class LocalMapper:
         st = self.store
         th = self.cfg.th
         live = np.nonzero(st.kf_valid)[0]
-        # Protect the two OLDEST keyframes (map origin/gauge) by source
-        # frame id — slot order is not age order once slots recycle.
-        oldest2 = live[np.argsort(st.kf_frame_id[live], kind="stable")[:2]]
+        # Protect the two OLDEST keyframes (map origin/gauge) by insertion
+        # seq — slot order is not age order once slots recycle, and frame
+        # ids can collide after a session merge.
+        oldest2 = live[np.argsort(st.kf_seq[live], kind="stable")[:2]]
         protected = set(oldest2.tolist()) | {kf}
         # Never cull the tracker's CURRENT reference keyframe: the reference
         # keeps culled KeyFrame objects alive (SetBadFlag never frees,
@@ -854,8 +859,8 @@ class LocalMapper:
         fixed[:n_local] = False
         # Gauge: fix the oldest keyframe in the problem (the reference fixes
         # boundary KFs + kf id 0; with no boundary the oldest local anchors).
-        # Age = source frame id (slot ids are reallocated lowest-first).
-        by_age = sorted(cams, key=lambda c: int(st.kf_frame_id[c]))
+        # Age = kf_seq (slot ids recycle; frame ids can collide post-merge).
+        by_age = sorted(cams, key=lambda c: int(st.kf_seq[c]))
         fixed[cam_slot[by_age[0]]] = True
         if len(cams) > 1 and len(boundary) == 0:
             # Monocular gauge also needs scale: fix the two oldest.

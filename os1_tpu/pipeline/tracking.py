@@ -185,7 +185,7 @@ class Tracker:
         feat1_ids = np.nonzero(good)[0]
         pt_ids = st.alloc_points(len(feat1_ids))
         st.pt_xyz[pt_ids] = pts3d[feat1_ids]
-        st.pt_first_kf[pt_ids] = k2
+        st.pt_first_seq[pt_ids] = st.kf_seq[k2]
         n_new = len(pt_ids)
         # k1 entries precede k2 entries so each point's slot order is (k1, k2).
         st.add_observations(
@@ -506,7 +506,10 @@ class Tracker:
         # depth-3 lag loses tracking before the map can grow. Full depth
         # engages once the map has some spatial extent.
         depth = self.pipeline_depth if self.store.n_keyframes() >= 8 else 1
-        if len(self._pending) > max(1, depth):
+        # Drain to the target depth (not one-per-frame): if the effective
+        # depth shrinks (young-map leash re-engaging, runtime depth change)
+        # the backlog must contract, or the FSM lag stays permanently high.
+        while len(self._pending) > max(1, depth):
             oldest = self._pending.pop(0)
             self._apply_result(*oldest)
             if self.state != TrackingState.OK:
@@ -514,6 +517,7 @@ class Tracker:
                 # lost pose — discard them and let the FSM recover.
                 self._pending.clear()
                 self._chain = None
+                break
 
     def flush(self):
         """Drain the pipelined in-flight frames (end of stream / mode switch)."""

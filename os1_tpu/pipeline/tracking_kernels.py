@@ -318,8 +318,16 @@ def _pack_tri(nb_idx, pts3, accepted, far):
     accepted entries: (code [TRI_TOP] i32 = flat nb*N+feat or -1,
     pts [TRI_TOP, 3], far [TRI_TOP], nb_feat [TRI_TOP]). The dense readback
     (~200 KB) cost more tunnel time than the triangulation program itself;
-    the packed form is ~22 KB."""
+    the packed form is ~22 KB.
+
+    Per-feature dedup happens ON DEVICE before packing: only the FIRST
+    accepting neighbor of each feature survives (identical to the host
+    apply loop's `taken` order — neighbors are covisibility-sorted), so at
+    most N (= TRI_TOP) entries can ever be accepted and the compaction can
+    never silently truncate duplicate-laden keyframes."""
     NB, N = accepted.shape
+    j_first = jnp.argmax(accepted, axis=0)  # first accepting neighbor per feat
+    accepted = accepted & (jnp.arange(NB)[:, None] == j_first[None, :])
     flat_ok = accepted.reshape(-1)
     order = jnp.argsort(~flat_ok)[:TRI_TOP]  # accepted-first, stable
     ok_c = flat_ok[order]

@@ -101,7 +101,7 @@ def looped_map():
                     xyz = Dinv[:3, :3] @ xyz + Dinv[:3, 3]
                 st.pt_xyz[p] = xyz
                 st.pt_desc[p] = descs_world[w_id]
-                st.pt_first_kf[p] = kf
+                st.pt_first_seq[p] = st.kf_seq[kf]
             st.add_observation(pid_map[w_id], kf, slot)
         st.update_point_derived(
             np.array(sorted(set(pid_map.values()))), 1.2, 4

@@ -192,3 +192,18 @@ class TestVariants:
         )
         ok = np.asarray(res.ok)
         assert ok[0] and not ok[1] and not ok[2]  # r=6: (10,0) off; far point off
+
+
+class TestPallasHamming:
+    def test_matches_mxu(self, rng):
+        """The Pallas VMEM kernel (interpret mode off-TPU) must agree with
+        the MXU popcount-matmul bit-for-bit."""
+        from os1_tpu.ops.hamming import hamming_matrix_mxu
+        from os1_tpu.ops.pallas_hamming import hamming_matrix_pallas
+
+        a = jnp.asarray(rng.integers(0, 2**32, (300, 8)).astype(np.uint32))
+        b = jnp.asarray(rng.integers(0, 2**32, (512, 8)).astype(np.uint32))
+        ref = np.asarray(hamming_matrix_mxu(a, b))
+        out = np.asarray(hamming_matrix_pallas(a, b, interpret=True))
+        assert out.shape == ref.shape
+        assert (out == ref).all()

@@ -35,11 +35,12 @@ def _force_cpu():
 from bench import FPS_BASELINE, N_FRAMES, build_system, loop_frames, orbit_frames
 
 
-def run_once(frames, poses, sync, th_overrides, log_lost=True):
+def run_once(frames, poses, sync, th_overrides, threaded=False,
+             log_lost=True):
     from os1_tpu.io import synthetic
     from os1_tpu.pipeline import TrackingState
 
-    sys_ = build_system(sync=sync, **th_overrides)
+    sys_ = build_system(sync=sync, threaded=threaded, **th_overrides)
     sys_.warmup()
     states = []
     for i, img in enumerate(frames):
@@ -75,7 +76,11 @@ def main():
     ap.add_argument("--runs", type=int, default=1)
     ap.add_argument("--seq", choices=("orbit", "loop"), default="orbit")
     ap.add_argument("--async", dest="async_", action="store_true",
-                    help="bench configuration (pipelined + worker threads)")
+                    help="bench configuration (pipelined + cooperative "
+                         "mapping) — deterministic, like sync")
+    ap.add_argument("--threaded", action="store_true",
+                    help="worker-thread topology (scheduler-dependent; "
+                         "implies --async)")
     ap.add_argument("--pose-ref", action="store_true",
                     help="reference 4x10-LM pose-opt schedule w/ reclassify")
     ap.add_argument("--debt", type=int, default=None,
@@ -120,9 +125,12 @@ def main():
         for i in range(len(poses) - 1)
     )
 
+    if args.threaded:
+        args.async_ = True
     results = []
     for r in range(args.runs):
-        out = run_once(frames, poses, sync=not args.async_, th_overrides=th)
+        out = run_once(frames, poses, sync=not args.async_, th_overrides=th,
+                       threaded=args.threaded)
         results.append(out)
         print(
             f"run {r}: ATE {out['ate']:.4f} ({out['ate'] / path_len * 100:.2f}% "
@@ -136,11 +144,14 @@ def main():
     if args.runs > 1:
         shas = {o["traj_sha"] for o in results}
         ates = [o["ate"] for o in results]
-        mode = "async" if args.async_ else "sync"
+        mode = ("threaded" if args.threaded
+                else "coop" if args.async_ else "sync")
         print(f"{mode}: {len(shas)} distinct trajectories over {args.runs} runs; "
               f"ATE spread [{min(ates):.4f}, {max(ates):.4f}]")
-        if not args.async_ and len(shas) != 1:
-            print("DETERMINISM VIOLATION: sync runs differ", file=sys.stderr)
+        # Sync AND coop are deterministic by construction; only the
+        # worker-thread topology is scheduler-dependent.
+        if not args.threaded and len(shas) != 1:
+            print(f"DETERMINISM VIOLATION: {mode} runs differ", file=sys.stderr)
             sys.exit(1)
 
 

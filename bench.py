@@ -27,11 +27,20 @@ N_FRAMES = 300
 FPS_BASELINE = 30.0
 
 
-def build_system(sync: bool = False, **th_overrides):
-    """The benchmark system. sync=True builds the deterministic configuration
-    (inline mapping, no frame pipelining — the reference's seeded-replay
-    regression rig, src/Video.cpp:60-73 + Initializer.cc:80, in which two
-    runs produce bit-identical trajectories; see accuracy.py).
+def build_system(sync: bool = False, threaded: bool = False, **th_overrides):
+    """The benchmark system.
+
+    Default (the SHIPPED configuration): pipelined tracking + cooperative
+    mapping — keyframe events advance as generator micro-steps between
+    tracked frames, the device overlapping mapping stages with tracking.
+    Deterministic: two runs produce bit-identical trajectories (the
+    reference's seeded-replay property, src/Video.cpp:60-73 +
+    Initializer.cc:80, preserved at full speed).
+
+    sync=True: inline mapping, no frame pipelining (the strictest rig —
+    every stage completes before the next frame; see accuracy.py).
+    threaded=True: the reference's worker-thread topology instead of the
+    cooperative scheduler (scheduler-dependent timing; parity mode).
     th_overrides patch TrackingThresholds fields (A/B experiments)."""
     from os1_tpu.features.orb import OrbConfig
     from os1_tpu.geometry.camera import Camera
@@ -48,7 +57,12 @@ def build_system(sync: bool = False, **th_overrides):
         map=MapConfig(max_keyframes=128, max_points=16384, n_features=1024),
         th=th,
     )
-    return System(cfg=cfg, pipelined=not sync, async_mapping=not sync)
+    return System(
+        cfg=cfg,
+        pipelined=not sync,
+        async_mapping=threaded,
+        coop_mapping=not sync and not threaded,
+    )
 
 
 def orbit_frames(n_frames: int = N_FRAMES):
@@ -145,8 +159,14 @@ def main():
     # ATE RMSE vs the rendered ground truth (Sim3-aligned, monocular).
     ate = _traj_ate(sys_, poses)
 
-    # Local-BA iters/s: LM iterations executed / local-BA wall time.
-    ba_wall = sys_.timer.totals.get("lm.local_ba", 0.0)
+    # Local-BA iters/s: LM iterations executed / local-BA wall time (the
+    # dispatch + fetch + apply stage sections; the device-overlap intervals
+    # between them belong to tracking, not BA).
+    ba_wall = sum(
+        sys_.timer.totals.get(k, 0.0)
+        for k in ("lm.ba.assemble", "lm.ba.dispatch", "lm.ba.fetch",
+                  "lm.local_ba")
+    )
     ba_iters_s = sys_.mapper.ba_iters / ba_wall if ba_wall > 0 else 0.0
 
     stage_ms = {

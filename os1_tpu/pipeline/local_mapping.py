@@ -317,20 +317,19 @@ class LocalMapper:
                 K33, jnp.asarray(cfg.sigma2_table), jnp.float32(5.0),
                 enable_far=cfg.enable_far_points,
             ))
-            for C in self._FUSE_BUCKETS:
-                jax.block_until_ready(tk.fuse_mirror_batch(
-                    jnp.tile(jnp.eye(4), (T_cap, 1, 1)),
-                    jnp.zeros(T_cap, jnp.int32),
-                    mir.kf_xy, mir.kf_angle, mir.kf_octave, mir.kf_desc,
-                    jnp.zeros((T_cap, N), bool),
-                    jnp.zeros((T_cap, C), jnp.int32),
-                    jnp.zeros((T_cap, C), bool),
-                    jnp.zeros(2 * C, jnp.int32),
-                    mir.pt_xyz, mir.pt_desc, mir.pt_max_dist,
-                    intr, jnp.float32(cfg.camera.width),
-                    jnp.float32(cfg.camera.height),
-                    jnp.float32(cfg.orb.scale_factor), n_levels=cfg.orb.n_levels,
-                ))
+            L_cap = 2 * self._T_FUSE
+            jax.block_until_ready(tk.fuse_pairs_mirror(
+                jnp.tile(jnp.eye(4), (L_cap, 1, 1)),
+                jnp.zeros(L_cap, jnp.int32), jnp.zeros(L_cap, jnp.int32),
+                jnp.zeros(L_cap, bool),
+                mir.kf_xy, mir.kf_angle, mir.kf_octave, mir.kf_desc,
+                mir.kf_feat_valid, mir.kf_obs_point,
+                mir.pt_xyz, mir.pt_desc, mir.pt_max_dist,
+                mir.pt_valid, mir.pt_obs_kf,
+                intr, jnp.float32(cfg.camera.width),
+                jnp.float32(cfg.camera.height),
+                jnp.float32(cfg.orb.scale_factor), n_levels=cfg.orb.n_levels,
+            ))
         else:
             jax.block_until_ready(tk.triangulate_with_neighbors_batch(
                 jnp.eye(4), jnp.tile(jnp.eye(4), (NB, 1, 1)),
@@ -590,28 +589,113 @@ class LocalMapper:
         for _ in self.search_in_neighbors_steps(kf):
             pass
 
+    def _fuse_targets(self, kf: int) -> list[int]:
+        """1st+2nd-ring covisible fusion targets (LocalMapping.cc:374-395)."""
+        st = self.store
+        first = [int(k) for k in st.covisible_keyframes(kf, top=20)]
+        targets = list(first)
+        seen = set(first) | {kf}
+        for t in first[:5]:
+            for t2 in st.covisible_keyframes(t, top=5):
+                t2 = int(t2)
+                if t2 not in seen:
+                    targets.append(t2)
+                    seen.add(t2)
+        return targets
+
     def search_in_neighbors_steps(self, kf: int):
         """Bidirectional duplicate-point fusion with 1st+2nd-ring covisible
         neighbors (LocalMapping::SearchInNeighbors, LocalMapping.cc:369-447).
+        Snapshot under the map lock, dispatch unlocked, YIELD while the
+        device matches, apply under the lock."""
+        if self.mirror is not None:
+            yield from self._fuse_steps_pairs(kf)
+        else:
+            yield from self._fuse_steps_host(kf)
 
-        All (target, candidate-set) pairs — every neighbor receiving this
-        keyframe's points, plus this keyframe receiving every neighbor's
-        points — are matched in ONE padded device call (tk.fuse_batch); only
-        the merge/Replace bookkeeping runs on host, in the reference's
-        sequential order. Snapshot under the map lock, dispatch unlocked,
-        YIELD while the device matches, apply under the lock."""
+    def _fuse_steps_pairs(self, kf: int):
+        """Mirror path: one device lane per (target, source) keyframe pair,
+        candidates gathered ON DEVICE from the mirror (tk.fuse_pairs_mirror).
+        The host uploads three tiny index vectors — the old host-packed
+        candidate tables were ~1 MB per keyframe event, the largest
+        recurring transfer in the pipeline (~80 ms mid-stream on the
+        tunneled transport)."""
+        st = self.store
+        cfg = self.cfg
+        L_cap = 2 * self._T_FUSE
+        with self.timer("lm.fuse.snap"), self.lock:
+            targets = self._fuse_targets(kf)[: self._T_FUSE - 1]
+            if not targets:
+                return
+            # Lane layout: (t <- points of kf) for each target, then
+            # (kf <- points of t) — the reference's bidirectional structure.
+            tgt = targets + [kf] * len(targets)
+            src = [kf] * len(targets) + targets
+            L = len(tgt)
+            tgt_rows = np.zeros(L_cap, np.int32)
+            src_rows = np.zeros(L_cap, np.int32)
+            tgt_rows[:L] = tgt
+            src_rows[:L] = src
+            lane_valid = np.arange(L_cap) < L
+            tgt_T = np.tile(np.eye(4, dtype=np.float32), (L_cap, 1, 1))
+            tgt_T[:L] = st.kf_T[tgt]
+            # Source observation rows snapshotted for the apply mapping
+            # (slot -> point id); taken under the same lock as the publish,
+            # so they match what the device will read from the mirror.
+            snap_src_obs = st.kf_obs_point[src_rows].copy()
+            epoch0 = st.epoch
+            self._publish()
+            mir = self.mirror
+            mir_snap = (mir.kf_xy, mir.kf_angle, mir.kf_octave, mir.kf_desc,
+                        mir.kf_feat_valid, mir.kf_obs_point,
+                        mir.pt_xyz, mir.pt_desc, mir.pt_max_dist,
+                        mir.pt_valid, mir.pt_obs_kf)
+
+        with self.timer("lm.fuse.dispatch"):
+            code = tk.fuse_pairs_mirror(
+                jnp.asarray(tgt_T),
+                jnp.asarray(tgt_rows), jnp.asarray(src_rows),
+                jnp.asarray(lane_valid),
+                *mir_snap,
+                jnp.asarray(cfg.intr),
+                jnp.float32(cfg.camera.width), jnp.float32(cfg.camera.height),
+                jnp.float32(cfg.orb.scale_factor), n_levels=cfg.orb.n_levels,
+            )
+        yield  # device matches; the caller tracks the next frame(s)
+        with self.timer("lm.fuse.fetch"):
+            code = fetch(code)  # [L_cap, FUSE_PAIR_TOP]
+
+        with self.timer("lm.fuse.apply"), self.lock:
+            if st.epoch != epoch0:
+                return
+            touched = []
+            for lane in range(L):
+                t = tgt[lane]
+                ids_row = snap_src_obs[lane]
+                c = code[lane]
+                c = c[c >= 0]
+                slots = c >> 12
+                feats_m = c & 0xFFF
+                keep = ids_row[slots] >= 0
+                touched.append(
+                    self._apply_fuse(t, ids_row, slots[keep], feats_m[keep])
+                )
+            touched = [t for t in touched if len(t)]
+            touched = np.unique(np.concatenate(touched)) if touched else []
+            if len(touched):
+                touched = touched[st.pt_valid[touched]]
+                st.update_point_derived(touched, self.cfg.orb.scale_factor,
+                                        self.cfg.orb.n_levels)
+            self._publish()
+
+    def _fuse_steps_host(self, kf: int):
+        """Host-snapshot path (no mirror — minimal/test pipelines): all
+        (target, candidate-set) pairs matched in ONE padded device call
+        (tk.fuse_batch) over uploaded candidate tables."""
         st = self.store
         cfg = self.cfg
         with self.timer("lm.fuse.snap"), self.lock:
-            first = [int(k) for k in st.covisible_keyframes(kf, top=20)]
-            targets = list(first)
-            seen = set(first) | {kf}
-            for t in first[:5]:
-                for t2 in st.covisible_keyframes(t, top=5):
-                    t2 = int(t2)
-                    if t2 not in seen:
-                        targets.append(t2)
-                        seen.add(t2)
+            targets = self._fuse_targets(kf)
             own = st.kf_obs_point[kf]
             own = np.unique(own[own >= 0])
             own = own[st.pt_valid[own]][: self._P_FUSE]
@@ -653,48 +737,21 @@ class LocalMapper:
             tgt_valid = (
                 st.kf_feat_valid[row_kfs] & (np.arange(T_cap) < n_rows)[:, None]
             )
-            mir = self.mirror
-            if mir is not None:
-                # Mirror-gather path: rows and the point slice come from the
-                # mirror. Publish-then-capture (diff publish, no-op when
-                # clean) guarantees the captured refs match the host
-                # snapshot taken under this same lock.
-                self._publish()
-                mir_snap = (mir.kf_xy, mir.kf_angle, mir.kf_octave,
-                            mir.kf_desc, mir.pt_xyz, mir.pt_desc,
-                            mir.pt_max_dist)
-                snap = (st.kf_T[row_kfs],)
-            else:
-                snap = (
-                    st.kf_T[row_kfs], st.kf_xy[row_kfs], st.kf_angle[row_kfs],
-                    st.kf_octave[row_kfs], st.kf_desc[row_kfs],
-                    tgt_valid, cand_idx, cand_valid,
-                    st.pt_xyz[sl], st.pt_desc[sl],
-                    np.nan_to_num(st.pt_max_dist[sl], posinf=1e9),
-                )
+            snap = (
+                st.kf_T[row_kfs], st.kf_xy[row_kfs], st.kf_angle[row_kfs],
+                st.kf_octave[row_kfs], st.kf_desc[row_kfs],
+                tgt_valid, cand_idx, cand_valid,
+                st.pt_xyz[sl], st.pt_desc[sl],
+                np.nan_to_num(st.pt_max_dist[sl], posinf=1e9),
+            )
 
         with self.timer("lm.fuse.dispatch"):
-            if mir is not None:
-                kx, ka, ko, kd, pxyz, pdesc, pmax = mir_snap
-                code = tk.fuse_mirror_batch(
-                    jnp.asarray(snap[0]),
-                    jnp.asarray(row_kfs.astype(np.int32)),
-                    kx, ka, ko, kd,
-                    jnp.asarray(tgt_valid),
-                    jnp.asarray(cand_idx), jnp.asarray(cand_valid),
-                    jnp.asarray(sl[: 2 * C].astype(np.int32)),
-                    pxyz, pdesc, pmax,
-                    jnp.asarray(cfg.intr),
-                    jnp.float32(cfg.camera.width), jnp.float32(cfg.camera.height),
-                    jnp.float32(cfg.orb.scale_factor), n_levels=cfg.orb.n_levels,
-                )
-            else:
-                code = tk.fuse_batch(
-                    *(jnp.asarray(a) for a in snap),
-                    jnp.asarray(cfg.intr),
-                    jnp.float32(cfg.camera.width), jnp.float32(cfg.camera.height),
-                    jnp.float32(cfg.orb.scale_factor), n_levels=cfg.orb.n_levels,
-                )
+            code = tk.fuse_batch(
+                *(jnp.asarray(a) for a in snap),
+                jnp.asarray(cfg.intr),
+                jnp.float32(cfg.camera.width), jnp.float32(cfg.camera.height),
+                jnp.float32(cfg.orb.scale_factor), n_levels=cfg.orb.n_levels,
+            )
         yield  # device matches; the caller tracks the next frame(s)
         with self.timer("lm.fuse.fetch"):
             code = fetch(code)  # [T, FUSE_TOP]; blocks outside the lock

@@ -91,7 +91,7 @@ class System:
 
         self.db = KeyFrameDatabase(self.vocab, self.cfg.map.max_keyframes)
         self.tracker.relocalizer = Relocalizer(
-            cfg=self.cfg, store=self.store, db=self.db
+            cfg=self.cfg, store=self.store, db=self.db, mirror=self.mirror
         )
         self.loop_closer = LoopCloser(
             cfg=self.cfg, store=self.store, db=self.db, lock=self.lock,
@@ -347,7 +347,9 @@ class System:
         # Relocalization programs (match + PnP + LM polish).
         from ..solvers.pnp import solve_pnp
         from ..optim import optimize_pose
-        from .relocalization import _match_frame_to_kf_points
+        from .relocalization import (
+            RELOC_C, _match_frame_to_kf_points, _reloc_candidates_program,
+        )
 
         jax.block_until_ready(_match_frame_to_kf_points(
             frame.feats.desc, frame.feats.valid, frame.feats.angle,
@@ -361,6 +363,15 @@ class System:
             eye, jnp.ones((N, 3)).at[:, 2].set(5.0), frame.xy_un,
             frame.sigma2, jnp.zeros(N, bool), intr,
         ).Tcw)
+        # The fused all-candidates program (the live LOST path).
+        jax.block_until_ready(_reloc_candidates_program(
+            frame.feats.desc, frame.feats.valid, frame.feats.angle,
+            frame.xy_un, frame.sigma2,
+            jnp.zeros(RELOC_C, jnp.int32),
+            mir.kf_desc, mir.kf_angle, mir.kf_obs_point,
+            mir.pt_xyz, mir.pt_valid,
+            intr, jrandom.PRNGKey(1),
+        )[0])
 
         # Mapping-side buckets (local BA, fuse, triangulation).
         self.mapper.warmup()

@@ -449,39 +449,93 @@ FUSE_TOP = 256  # max fuse matches downloaded per target (code-packed)
 
 
 # Mirror-gathering fuse: target keyframe feature rows and the shared point
-# slice are gathered from the device mirror by index — the host uploads
-# poses, index vectors and dynamic masks (~100 KB) instead of ~3.5 MB of
-# rows per keyframe event (the tunnel moves ~50 MB/s).
+FUSE_PAIR_TOP = 128  # max fuse matches downloaded per (target, source) pair
+
+
 @functools.partial(jax.jit, static_argnames=("n_levels",))
-def fuse_mirror_batch(
-    tgt_T: jnp.ndarray,  # [T, 4, 4] host snapshot (poses move mid-pass)
-    row_kfs: jnp.ndarray,  # [T] int32 — target mirror rows
+def fuse_pairs_mirror(
+    tgt_T: jnp.ndarray,  # [L, 4, 4] target poses (host snapshot — fresher)
+    tgt_rows: jnp.ndarray,  # [L] i32 target mirror rows
+    src_rows: jnp.ndarray,  # [L] i32 source rows (candidates = src's points)
+    lane_valid: jnp.ndarray,  # [L] bool (padding lanes off)
     kf_xy: jnp.ndarray,  # [K, N, 2] mirror
-    kf_angle: jnp.ndarray,  # [K, N] mirror
-    kf_octave: jnp.ndarray,  # [K, N] mirror
-    kf_desc: jnp.ndarray,  # [K, N, 8] mirror
-    tgt_valid: jnp.ndarray,  # [T, N] host (feat_valid & live-row mask)
-    cand_idx: jnp.ndarray,  # [T, C] into the slice
-    cand_valid: jnp.ndarray,  # [T, C]
-    sl: jnp.ndarray,  # [S] int32 — point slots of the shared slice
-    pt_xyz: jnp.ndarray,  # [P, 3] mirror point block
-    pt_desc: jnp.ndarray,  # [P, 8] mirror
-    pt_max_dist: jnp.ndarray,  # [P] mirror (may hold +inf for far points)
+    kf_angle: jnp.ndarray,
+    kf_octave: jnp.ndarray,
+    kf_desc: jnp.ndarray,
+    kf_feat_valid: jnp.ndarray,  # [K, N] mirror
+    kf_obs_point: jnp.ndarray,  # [K, N] mirror
+    pt_xyz: jnp.ndarray,  # [P, 3] mirror
+    pt_desc: jnp.ndarray,
+    pt_max_dist: jnp.ndarray,
+    pt_valid: jnp.ndarray,  # [P] mirror
+    pt_obs_kf: jnp.ndarray,  # [P, M] mirror
     intr: jnp.ndarray,
     width: jnp.ndarray,
     height: jnp.ndarray,
     scale_factor: jnp.ndarray,
     n_levels: int = 8,
 ):
-    return fuse_batch(
-        tgt_T,
-        kf_xy[row_kfs], kf_angle[row_kfs], kf_octave[row_kfs],
-        kf_desc[row_kfs], tgt_valid,
-        cand_idx, cand_valid,
-        pt_xyz[sl], pt_desc[sl],
-        jnp.nan_to_num(pt_max_dist[sl], posinf=1e9),
-        intr, width, height, scale_factor, n_levels=n_levels,
-    )
+    """SearchInNeighbors fusion with ALL inputs gathered from the mirror.
+
+    One lane per (target keyframe, source keyframe) pair: the source row's
+    bound points are the fuse candidates projected into the target — the
+    reference's bidirectional pair structure (LocalMapping.cc:369-447:
+    Fuse(neighbor, points-of-new-KF) plus Fuse(new-KF, points-of-neighbor)).
+    The old fuse_batch uploaded host-packed candidate tables (cand_idx +
+    cand_valid, ~1 MB per keyframe event at the 4096 bucket) — the largest
+    recurring h2d transfer in the pipeline, and mid-stream transfers on the
+    tunneled transport run at ~13 MB/s, stalling every queued program ~80 ms.
+    Here the host uploads three [L] index vectors (~1 KB).
+
+    Candidate validity (point alive + not already observed in the target)
+    is evaluated on device against the just-published mirror observation
+    table. Returns [L, FUSE_PAIR_TOP] i32 codes (src_feat << 12 | tgt_feat,
+    -1 pad)."""
+    from ..features.orb import FrameFeatures
+
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+
+    def one(T, tr, sr, lv):
+        pid = kf_obs_point[sr]  # [N] candidate point per source feature
+        pidc = jnp.clip(pid, 0, None)
+        cval = lv & (pid >= 0) & pt_valid[pidc]
+        # Exclude points already observed in the target (the host used to
+        # pre-compute this; pt_obs_kf is mirrored, so the device can).
+        cval &= ~jnp.any(pt_obs_kf[pidc] == tr, axis=1)
+        X = pt_xyz[pidc]  # [N, 3]
+        pc = se3.transform(T, X)
+        z = jnp.where(jnp.abs(pc[..., 2]) < 1e-8, 1e-8, pc[..., 2])
+        uv = jnp.stack(
+            [fx * pc[..., 0] / z + cx, fy * pc[..., 1] / z + cy], axis=-1
+        )
+        valid = cval & (pc[..., 2] > 0.05)
+        valid &= (uv[..., 0] > 0) & (uv[..., 0] < width)
+        valid &= (uv[..., 1] > 0) & (uv[..., 1] < height)
+        Ow = se3.camera_center(T)
+        dist = jnp.linalg.norm(X - Ow, axis=-1)
+        maxd = jnp.nan_to_num(pt_max_dist[pidc], posinf=1e9)
+        octv = matchers.predicted_octave(dist, maxd, scale_factor, n_levels)
+        feats = FrameFeatures(
+            xy=kf_xy[tr], response=jnp.zeros_like(kf_angle[tr]),
+            angle=kf_angle[tr], octave=kf_octave[tr], desc=kf_desc[tr],
+            valid=kf_feat_valid[tr] & lv,
+        )
+        res = matchers.fuse_candidates(
+            point_desc=pt_desc[pidc], point_uv=uv, point_valid=valid,
+            point_octave=octv,
+            radius_scale=scale_factor ** octv.astype(jnp.float32),
+            feats=feats,
+        )
+        return res.ok & valid, res.idx
+
+    ok, idx = jax.vmap(one)(tgt_T, tgt_rows, src_rows, lane_valid)
+    order = jnp.argsort(~ok, axis=1)[:, :FUSE_PAIR_TOP]  # ok-first (stable)
+    ok_c = jnp.take_along_axis(ok, order, axis=1)
+    idx_c = jnp.take_along_axis(idx, order, axis=1)
+    code = jnp.where(
+        ok_c, (order << 12) | jnp.clip(idx_c, 0, (1 << 12) - 1), -1
+    ).astype(jnp.int32)
+    return code
 
 
 @jax.jit

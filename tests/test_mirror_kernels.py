@@ -106,56 +106,67 @@ def test_triangulate_mirror_matches_row_upload():
     )
 
 
-def test_fuse_mirror_matches_row_upload():
+def test_fuse_pairs_mirror_matches_row_upload():
+    """The pair-lane mirror kernel (candidates gathered on device from
+    kf_obs_point + validity from pt_obs_kf) must produce the same fuse
+    matches as fuse_batch fed the equivalent host-packed candidate table."""
     (X, T_new, T_nb, desc, kf_xy, kf_angle, kf_octave, kf_desc, K33) = _geometry()
     rng = np.random.default_rng(1)
     P = 128  # mirror point capacity
-    C = 64   # candidate bucket
-    T_cap = 3
+    C = 64   # candidate bucket (= N here)
+    M = 4    # obs slots per point
     pt_xyz = rng.uniform(-2, 2, (P, 3)).astype(np.float32)
     pt_desc = rng.integers(0, 2 ** 32, (P, 8), dtype=np.uint64).astype(np.uint32)
     pt_max_dist = np.full(P, 100.0, np.float32)
-    sl = rng.permutation(P)[: N].astype(np.int32)  # point slots of the slice
-    pt_xyz[sl] = X          # slice = the visible cloud
+    pt_valid = np.zeros(P, bool)
+    sl = rng.permutation(P)[: N].astype(np.int32)  # src row's bound points
+    pt_xyz[sl] = X
     pt_desc[sl] = desc
-    # Scale-consistent max distance (as update_point_derived would produce):
-    # predicted octave at the observation distance lands on the features'
-    # octave 0 instead of being clipped to the pyramid top.
+    pt_valid[sl] = True
     pt_max_dist[sl] = np.linalg.norm(X, axis=1) * 1.2
-    sl_pad = np.concatenate([sl, np.zeros(2 * C - len(sl), np.int32)])
-
-    row_kfs = np.array([ROW_NEW, ROW_NB, 0], np.int32)
-    tgt_T = np.stack([T_new, T_nb, np.eye(4, dtype=np.float32)])
-    tgt_valid = np.zeros((T_cap, N), bool)
-    tgt_valid[:2] = True
-    cand_idx = np.zeros((T_cap, C), np.int32)
-    cand_valid = np.zeros((T_cap, C), bool)
-    cand_idx[:2] = np.arange(C)[None, :]
-    cand_valid[:2] = True
+    # Observation table: each slice point observed in the SOURCE row only.
+    pt_obs_kf = np.full((P, M), -1, np.int32)
+    pt_obs_kf[sl, 0] = ROW_NEW
+    kf_obs_point = np.full((KROWS, N), -1, np.int32)
+    kf_obs_point[ROW_NEW] = sl  # src row: feature i bound to point sl[i]
+    kf_feat_valid = np.zeros((KROWS, N), bool)
+    kf_feat_valid[ROW_NEW] = kf_feat_valid[ROW_NB] = True
     intr = np.array([FX, FY, CX, CY], np.float32)
-
     args_tail = (
         jnp.asarray(intr), jnp.float32(80.0), jnp.float32(60.0),
         jnp.float32(1.2),
     )
+
+    # Reference: fuse_batch with the equivalent host-packed candidates
+    # (target ROW_NB receives the src row's points, slice order = feature
+    # order, so candidate slots == src feature indices).
+    sl_pad = np.concatenate([sl, np.zeros(2 * C - len(sl), np.int32)])
     ref = tk.fuse_batch(
-        jnp.asarray(tgt_T),
-        jnp.asarray(kf_xy[row_kfs]), jnp.asarray(kf_angle[row_kfs]),
-        jnp.asarray(kf_octave[row_kfs]), jnp.asarray(kf_desc[row_kfs]),
-        jnp.asarray(tgt_valid), jnp.asarray(cand_idx), jnp.asarray(cand_valid),
+        jnp.asarray(T_nb[None]),
+        jnp.asarray(kf_xy[ROW_NB][None]), jnp.asarray(kf_angle[ROW_NB][None]),
+        jnp.asarray(kf_octave[ROW_NB][None]), jnp.asarray(kf_desc[ROW_NB][None]),
+        jnp.asarray(np.ones((1, N), bool)),
+        jnp.asarray(np.arange(C, dtype=np.int32)[None]),
+        jnp.asarray(np.ones((1, C), bool)),
         jnp.asarray(pt_xyz[sl_pad]), jnp.asarray(pt_desc[sl_pad]),
         jnp.asarray(np.nan_to_num(pt_max_dist[sl_pad], posinf=1e9)),
         *args_tail, n_levels=8,
     )
-    mir = tk.fuse_mirror_batch(
-        jnp.asarray(tgt_T), jnp.asarray(row_kfs),
+    pairs = tk.fuse_pairs_mirror(
+        jnp.asarray(T_nb[None]),
+        jnp.asarray(np.array([ROW_NB], np.int32)),
+        jnp.asarray(np.array([ROW_NEW], np.int32)),
+        jnp.asarray(np.ones(1, bool)),
         jnp.asarray(kf_xy), jnp.asarray(kf_angle),
         jnp.asarray(kf_octave), jnp.asarray(kf_desc),
-        jnp.asarray(tgt_valid), jnp.asarray(cand_idx), jnp.asarray(cand_valid),
-        jnp.asarray(sl_pad),
+        jnp.asarray(kf_feat_valid), jnp.asarray(kf_obs_point),
         jnp.asarray(pt_xyz), jnp.asarray(pt_desc), jnp.asarray(pt_max_dist),
+        jnp.asarray(pt_valid), jnp.asarray(pt_obs_kf),
         *args_tail, n_levels=8,
     )
-    ref, mir = np.asarray(ref), np.asarray(mir)
-    assert (ref >= 0).any(), "fixture should fuse something"
-    np.testing.assert_array_equal(ref, mir)
+    ref_codes = np.asarray(ref)[0]
+    pair_codes = np.asarray(pairs)[0]
+    ref_set = set(ref_codes[ref_codes >= 0].tolist())
+    pair_set = set(pair_codes[pair_codes >= 0].tolist())
+    assert ref_set, "fixture should fuse something"
+    assert ref_set == pair_set

@@ -82,6 +82,10 @@ class MapStore:
     pt_first_seq: np.ndarray = field(init=False)  # [P] int64 creating kf_seq
     pt_color: np.ndarray = field(init=False)  # [P, 3] uint8 (os1 colored points)
     pt_far: np.ndarray = field(init=False)  # [P] bool quasi-infinity flag
+    # Far-point origin taxonomy (reference MapPoint::plOrigen,
+    # MapPoint.h:404-444): 0 normal, 1 umbralCosBajo (low-parallax finite),
+    # 2 umbralCos (quasi-infinity via the parallax gate), 3 svdInf.
+    pt_far_class: np.ndarray = field(init=False)  # [P] uint8
 
     def __post_init__(self):
         # Epoch counter: bumped every time the store is cleared (reset /
@@ -123,6 +127,7 @@ class MapStore:
         self.pt_first_seq = np.zeros(P, np.int64)
         self.pt_color = np.zeros((P, 3), np.uint8)
         self.pt_far = np.zeros(P, bool)
+        self.pt_far_class = np.zeros(P, np.uint8)
 
     # ------------------------------------------------------------------ #
     # allocation / lifecycle
@@ -319,6 +324,8 @@ class MapStore:
         self.pt_n_obs[ids] = 0
         self.pt_visible[ids] = 0
         self.pt_found[ids] = 0
+        self.pt_far[ids] = False
+        self.pt_far_class[ids] = 0
 
     def replace_point(self, loser: int, winner: int) -> None:
         """Merge ``loser`` into ``winner`` (MapPoint::Replace,

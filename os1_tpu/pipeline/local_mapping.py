@@ -227,6 +227,11 @@ class LocalMapper:
     # Tracker's live reference keyframe (wired by System): excluded from
     # keyframe culling — see cull_keyframes.
     protected_kf_fn = None  # callable() -> int | None
+    # Runtime far-point parallax knob: finite triangulations with parallax
+    # cosine above this are classed umbralCosBajo (the reference's viewer
+    # trackbar parameter, Viewer.cc:133 -> LocalMapping.cc:202-204;
+    # 0.9998 disables the band, matching param >= 998).
+    far_cos_user: float = 0.9998
     # Queue-pressure probe (wired to MappingWorker.queue_size in async mode):
     # the reference runs SearchInNeighbors and local BA ONLY when no further
     # keyframes wait (LocalMapping.cc:72 CheckNewKeyFrames gates) — under a
@@ -527,23 +532,25 @@ class LocalMapper:
         yield  # device triangulates; the caller tracks the next frame(s)
         with self.timer("lm.tri.fetch"):
             if mir is not None:
-                # Compacted readback (~22 KB; transfer announced at
+                # Compacted readback (~26 KB; transfer announced at
                 # dispatch — utils/transfer.py transport note), unpacked
                 # back to the dense [NB, N] apply layout on host.
-                code, pts_c, far_c, nbf_c = fetch(dev)
+                code, pts_c, far_c, nbf_c, cosp_c = fetch(dev)
                 NB_, N_ = len(all_nb), self.cfg.orb.n_features
                 acc = np.zeros((NB_, N_), bool)
                 pts_np = np.zeros((NB_, N_, 3), np.float32)
                 far_np = np.zeros((NB_, N_), bool)
                 nb_idx_np = np.full((NB_, N_), -1, np.int32)
+                cosp_np = np.zeros((NB_, N_), np.float32)
                 sel = code >= 0
                 nbs_i, feats_i = code[sel] // N_, code[sel] % N_
                 acc[nbs_i, feats_i] = True
                 pts_np[nbs_i, feats_i] = pts_c[sel]
                 far_np[nbs_i, feats_i] = far_c[sel]
                 nb_idx_np[nbs_i, feats_i] = nbf_c[sel]
+                cosp_np[nbs_i, feats_i] = cosp_c[sel]
             else:
-                nb_idx_np, pts_np, acc, far_np = fetch(dev)
+                nb_idx_np, pts_np, acc, far_np, cosp_np = fetch(dev)
 
         with self.timer("lm.tri.apply"), self.lock:
             if st.epoch != epoch0:
@@ -567,6 +574,25 @@ class LocalMapper:
                 st.pt_first_seq[ids] = st.kf_seq[kf]
                 st.pt_desc[ids] = st.kf_desc[kf, feats]
                 st.pt_far[ids] = far_np[j, feats]
+                # Far-point origin taxonomy (reference plOrigen,
+                # MapPoint.h:404-444 / LocalMapping.cc:255-276): points
+                # routed to quasi-infinity by the parallax gate are
+                # umbralCos; finite triangulations above the user-tunable
+                # cos threshold are umbralCosBajo; |X| >= 1e5 marks the
+                # SVD-infinity class.
+                from ..viz.frame_drawer import (
+                    FAR_COS, FAR_LOWCOS, FAR_NORMAL, FAR_SVDINF,
+                )
+
+                f_np = far_np[j, feats]
+                cos_j = cosp_np[j, feats]
+                qinf = np.linalg.norm(pts_np[j, feats], axis=1) >= 1e5
+                cls = np.where(
+                    f_np, FAR_COS,
+                    np.where(cos_j > self.far_cos_user, FAR_LOWCOS,
+                             np.where(qinf, FAR_SVDINF, FAR_NORMAL)),
+                ).astype(np.uint8)
+                st.pt_far_class[ids] = cls
                 n_new = len(ids)
                 st.add_observations(
                     np.concatenate([ids, ids]),

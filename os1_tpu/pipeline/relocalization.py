@@ -123,6 +123,9 @@ class Relocalizer:
         cands = self.db.detect_reloc_candidates(
             bow, covis_fn=lambda k: st.covisible_keyframes(k, top=10)
         )
+        # HUD introspection (reference relocalizacionCandidatos count shown
+        # while LOST, FrameDrawer.cc:197).
+        self.last_n_candidates = len(cands)
         if self.verbose:
             self.verbose = False  # one-shot, as in the reference
             print(f"[reloc] {len(cands)} candidates: {list(map(int, cands[:8]))}")

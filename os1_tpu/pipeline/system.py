@@ -430,6 +430,15 @@ class System:
             self.coop.step(budget=2 if self.coop.queue_size() >= 2 else 1)
         return out
 
+    def set_far_parallax_param(self, param: int):
+        """The reference viewer's 'Parámetro' trackbar (0..1000,
+        Viewer.cc:133): param < 998 sets the far-point classification
+        threshold umbralCos = 0.9 + param/10000 (LocalMapping.cc:202-204);
+        larger values disable the umbralCosBajo band."""
+        self.mapper.far_cos_user = (
+            0.9 + param / 10000.0 if param < 998 else 0.9998
+        )
+
     def activate_localization_mode(self):
         """Stop mapping; track against the frozen map (System.cc:154-158).
         The map is truly frozen: no keyframes are inserted

@@ -73,6 +73,10 @@ class Tracker:
     # Tracking-loss diagnostics: (frame_id, reason) per loss event — the
     # observability hook for the reloc-storm investigations (bench ok gate).
     loss_log: list = field(default_factory=list)
+    # FrameDrawer introspection: last bootstrap-attempt match (ref feature
+    # -> current feature, -1 unmatched) and the attempt's current frame.
+    last_init_match: np.ndarray | None = None
+    _init_cur_frame: object = None
     timer: StageTimer = field(default_factory=StageTimer)
     # Map lock (Map::mMutexMapUpdate): the reference's Tracking::Track takes
     # it for the whole per-frame pass (Tracking.cc:133); here only the host
@@ -153,6 +157,12 @@ class Tracker:
 
         self._key, sub = jax.random.split(self._key)
         match, init = tk.bootstrap(self.init_ref.data, frame, self._K, sub)
+        # Init-flow introspection for the FrameDrawer (ref-frame keypoint ->
+        # current match; FrameDrawer.cc:104-108 draws these as lines).
+        self.last_init_match = np.where(
+            np.asarray(match.ok), np.asarray(match.idx), -1
+        )
+        self._init_cur_frame = frame
         n_matches = int(jnp.sum(match.ok))
         if n_matches < self.cfg.th.min_init_matches:
             self.init_ref = None  # retry with a fresh reference

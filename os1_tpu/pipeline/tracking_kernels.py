@@ -287,7 +287,7 @@ def _triangulate_with_neighbor_impl(
     far = match.ok & check.far & baseline_ok
     accepted = (match.ok & check.valid & baseline_ok) | far
     nb_idx = jnp.where(accepted, match.idx, NEG)
-    return nb_idx, check.points, accepted, far
+    return nb_idx, check.points, accepted, far, check.parallax_cos
 
 
 triangulate_with_neighbor = functools.partial(
@@ -313,12 +313,14 @@ def triangulate_with_neighbors_batch(*args, enable_far=False):
 TRI_TOP = 1024  # max accepted triangulations downloaded per keyframe event
 
 
-def _pack_tri(nb_idx, pts3, accepted, far):
+def _pack_tri(nb_idx, pts3, accepted, far, cosp):
     """Compact the [NB, N] triangulation outputs to the first TRI_TOP
     accepted entries: (code [TRI_TOP] i32 = flat nb*N+feat or -1,
-    pts [TRI_TOP, 3], far [TRI_TOP], nb_feat [TRI_TOP]). The dense readback
-    (~200 KB) cost more tunnel time than the triangulation program itself;
-    the packed form is ~22 KB.
+    pts [TRI_TOP, 3], far [TRI_TOP], nb_feat [TRI_TOP],
+    cos_parallax [TRI_TOP]). The dense readback (~200 KB) cost more tunnel
+    time than the triangulation program itself; the packed form is ~26 KB.
+    The parallax cosine feeds the far-point taxonomy (plOrigen classes,
+    reference MapPoint.h:404-444).
 
     Per-feature dedup happens ON DEVICE before packing: only the FIRST
     accepting neighbor of each feature survives (identical to the host
@@ -335,7 +337,8 @@ def _pack_tri(nb_idx, pts3, accepted, far):
     pts_c = pts3.reshape(-1, 3)[order]
     far_c = far.reshape(-1)[order] & ok_c
     nbf_c = nb_idx.reshape(-1)[order]
-    return code, pts_c, far_c, nbf_c
+    cosp_c = cosp.reshape(-1)[order]
+    return code, pts_c, far_c, nbf_c, cosp_c
 
 
 # Mirror-gathering variant: the per-keyframe feature arrays live in the
@@ -369,8 +372,8 @@ def triangulate_mirror_batch(
             K, sigma2_table, median_depth_new, enable_far=enable_far,
         )
 
-    nb_idx, pts3, accepted, far = jax.vmap(one)(T_nb, all_nb, nb_unbound)
-    return _pack_tri(nb_idx, pts3, accepted, far)
+    nb_idx, pts3, accepted, far, cosp = jax.vmap(one)(T_nb, all_nb, nb_unbound)
+    return _pack_tri(nb_idx, pts3, accepted, far, cosp)
 
 
 # All fusion targets of one keyframe in ONE device call. The reference's

@@ -35,7 +35,7 @@ import os
 
 import numpy as np
 
-from .frame_drawer import draw_frame
+from .frame_drawer import FrameDrawer
 from .map_drawer import draw_map
 
 _FRAME_WIN = "os1-tpu: frame"
@@ -66,6 +66,7 @@ class Viewer:
         self._recorder = None  # cv2.VideoWriter when recording ('b')
         self._trackbar_ready = False
         self._trackbar_last = -1
+        self.frame_drawer = FrameDrawer(system)
         if snapshot_dir:
             os.makedirs(snapshot_dir, exist_ok=True)
 
@@ -80,22 +81,9 @@ class Viewer:
             self._drive_auto_mode(state)
             return
 
-        tr = self.system.tracker
         st = self.system.store
-        if tr.last is not None:
-            xy = np.asarray(tr.last.data.feats.xy)
-            valid = np.asarray(tr.last.data.feats.valid)
-            bound = tr.last.bind >= 0
-            n_matches = int(bound.sum())
-        else:
-            xy = np.zeros((0, 2))
-            valid = np.zeros(0, bool)
-            bound = np.zeros(0, bool)
-            n_matches = 0
-        frame_img = draw_frame(
-            img, xy, bound, valid, state.name,
-            st.n_keyframes(), st.n_points(), n_matches,
-        )
+        self.frame_drawer.update(img, state)
+        frame_img = self.frame_drawer.draw()
         map_img = draw_map(
             st, Tcw, show_points=self.show_points,
             show_keyframes=self.show_keyframes, show_graph=self.show_graph,
@@ -132,6 +120,14 @@ class Viewer:
                 "tiempo", _FRAME_WIN, 0, max(self.video.n_frames, 1),
                 self._on_trackbar,
             )
+            # Far-point parallax parameter (reference 'Parámetro' trackbar,
+            # Viewer.cc:133 -> LocalMapping::param).
+            cv2.createTrackbar(
+                "Parametro", _FRAME_WIN, 1000, 1000,
+                self.system.set_far_parallax_param,
+            )
+            # Map-point inspection on click (FrameDrawer::onMouse).
+            cv2.setMouseCallback(_FRAME_WIN, self._on_mouse)
             self._trackbar_ready = True
         cv2.imshow(_FRAME_WIN, frame_img)
         cv2.imshow("os1-tpu: map", map_img)
@@ -155,6 +151,16 @@ class Viewer:
         if self.video is not None and abs(pos - self._trackbar_last) > 1:
             self._trackbar_last = pos
             self.video.seek(pos)
+
+    def _on_mouse(self, event, x, y, flags=None, userdata=None):
+        """Click -> map-point inspection report (FrameDrawer::onMouse,
+        FrameDrawer.cc:271-313), display-scale corrected."""
+        import cv2
+
+        if event != cv2.EVENT_LBUTTONDOWN:
+            return
+        s = self.display_scale
+        self.frame_drawer.inspect(x / s, y / s, radius=2.0 / s)
 
     def _undistort_input(self, img):
         import cv2

@@ -84,7 +84,7 @@ def test_triangulate_mirror_matches_row_upload():
     # The mirror variant returns the COMPACTED form (tk._pack_tri):
     # unpack it back to dense [NB, N] and compare against the row-upload
     # reference outputs.
-    code, pts_c, far_c, nbf_c = (np.asarray(a) for a in mir)
+    code, pts_c, far_c, nbf_c, _cosp = (np.asarray(a) for a in mir)
     NB_, N_ = accepted.shape
     acc_m = np.zeros((NB_, N_), bool)
     pts_m = np.zeros((NB_, N_, 3), np.float32)

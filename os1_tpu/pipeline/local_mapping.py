@@ -25,7 +25,7 @@ from ..optim import (
     run_ba,
 )
 from ..utils.profiling import StageTimer
-from ..utils.transfer import fetch
+from ..utils.transfer import announce, fetch
 from . import tracking_kernels as tk
 from .config import SlamConfig
 
@@ -529,6 +529,10 @@ class LocalMapper:
                     K, sigma2, jnp.float32(md),
                     enable_far=cfg.enable_far_points,
                 )
+            # Announce the d2h NOW: a GET first issued at the fetch step
+            # (a frame later) would queue behind everything dispatched in
+            # between (utils/transfer.py transport discipline).
+            announce(dev)
         yield  # device triangulates; the caller tracks the next frame(s)
         with self.timer("lm.tri.fetch"):
             if mir is not None:
@@ -687,6 +691,7 @@ class LocalMapper:
                 jnp.float32(cfg.camera.width), jnp.float32(cfg.camera.height),
                 jnp.float32(cfg.orb.scale_factor), n_levels=cfg.orb.n_levels,
             )
+            announce(code)  # d2h in stream order (transport discipline)
         yield  # device matches; the caller tracks the next frame(s)
         with self.timer("lm.fuse.fetch"):
             code = fetch(code)  # [L_cap, FUSE_PAIR_TOP]
@@ -940,6 +945,7 @@ class LocalMapper:
             yield  # chunk runs on device; abort re-checked at next step
         with self.timer("lm.ba.dispatch"):
             dev = result(prob, state)
+            announce(dev)  # d2h in stream order (transport discipline)
         yield
         with self.timer("lm.ba.fetch"):
             res = fetch(dev)  # ONE block, outside the lock

@@ -19,7 +19,7 @@ from ..matching import core as mcore
 from ..optim.pose_graph import optimize_pose_graph
 from ..optim.sim3_opt import optimize_sim3
 from ..solvers.sim3_solver import solve_sim3
-from ..utils.transfer import fetch
+from ..utils.transfer import announce, fetch
 from ..vocab.database import KeyFrameDatabase
 from .config import SlamConfig
 
@@ -204,6 +204,7 @@ class LoopCloser:
         for cand, snap in snaps:
             with self.timer("loop.sim3"):
                 dev = self._dispatch_sim3(snap)
+                announce(dev)  # d2h in stream order
             yield False  # device evaluates the candidate program
             with self.timer("loop.sim3"):
                 ok, S_cl, matched_pts = self._fetch_sim3(dev)
@@ -310,6 +311,7 @@ class LoopCloser:
             yield
             state = jax.block_until_ready(state)
         dev = result(prob, state)
+        announce(dev)  # d2h in stream order
         yield
         res = fetch(dev)
         if self._stop_gba:

@@ -73,9 +73,9 @@ class Tracker:
     # Tracking-loss diagnostics: (frame_id, reason) per loss event — the
     # observability hook for the reloc-storm investigations (bench ok gate).
     loss_log: list = field(default_factory=list)
-    # FrameDrawer introspection: last bootstrap-attempt match (ref feature
-    # -> current feature, -1 unmatched) and the attempt's current frame.
-    last_init_match: np.ndarray | None = None
+    # FrameDrawer introspection: last bootstrap-attempt match (device pair,
+    # materialized lazily by the drawer) and the attempt's current frame.
+    _init_match_dev: object = None
     _init_cur_frame: object = None
     timer: StageTimer = field(default_factory=StageTimer)
     # Map lock (Map::mMutexMapUpdate): the reference's Tracking::Track takes
@@ -139,11 +139,22 @@ class Tracker:
     def _record_trajectory(self, timestamp, fid, Tcw):
         self.trajectory.append((timestamp, fid, Tcw.copy()))
 
+    @property
+    def last_init_match(self):
+        """[N] init-reference feature -> current feature (-1 unmatched),
+        materialized on demand (FrameDrawer init-flow lines)."""
+        if self._init_match_dev is None:
+            return None
+        ok, idx = self._init_match_dev
+        return np.where(np.asarray(ok), np.asarray(idx), -1)
+
     # ------------------------------------------------------------------ #
     # initialization (Tracking.cc:344-521)
     # ------------------------------------------------------------------ #
     def _monocular_initialization(self, frame, fid, timestamp):
-        n_valid = int(np.asarray(frame.feats.valid).sum())
+        from ..utils.transfer import fetch
+
+        n_valid = int(fetch(frame.feats.valid).sum())
         if self.init_ref is None or n_valid <= self.cfg.th.min_init_matches:
             if n_valid > self.cfg.th.min_init_matches:
                 self.init_ref = TrackedFrame(
@@ -155,19 +166,22 @@ class Tracker:
                 self.state = TrackingState.NOT_INITIALIZED
             return
 
+        from ..utils.transfer import announce, fetch
+
         self._key, sub = jax.random.split(self._key)
-        match, init = tk.bootstrap(self.init_ref.data, frame, self._K, sub)
+        match, init, head = tk.bootstrap(self.init_ref.data, frame, self._K, sub)
+        announce(head)  # d2h in stream order (transport discipline)
         # Init-flow introspection for the FrameDrawer (ref-frame keypoint ->
-        # current match; FrameDrawer.cc:104-108 draws these as lines).
-        self.last_init_match = np.where(
-            np.asarray(match.ok), np.asarray(match.idx), -1
-        )
+        # current match; FrameDrawer.cc:104-108 draws these as lines) —
+        # device arrays; the drawer materializes only when rendering.
+        self._init_match_dev = (match.ok, match.idx)
         self._init_cur_frame = frame
-        n_matches = int(jnp.sum(match.ok))
+        head = np.asarray(head)
+        n_matches = int(head[0])
         if n_matches < self.cfg.th.min_init_matches:
             self.init_ref = None  # retry with a fresh reference
             return
-        if not bool(init.success):
+        if head[1] < 0.5:  # init.success
             return
 
         self._create_initial_map(frame, fid, timestamp, match, init)
@@ -175,13 +189,18 @@ class Tracker:
     def _create_initial_map(self, frame, fid, timestamp, match, init):
         st = self.store
         f1, f2 = self.init_ref.data, frame
-        T21 = np.asarray(init.T21)
 
         from .frame import unpack_host
 
         from ..utils.transfer import fetch
 
-        p1, p2 = fetch((f1.host_pack, f2.host_pack))
+        # One announced gather for everything the map build needs (each
+        # cold np.asarray would pay its own transport round trip).
+        T21, good, m_idx, pts3d, p1, p2 = fetch((
+            init.T21, init.good, match.idx, init.points,
+            f1.host_pack, f2.host_pack,
+        ))
+        T21 = np.asarray(T21)
         k1 = st.add_keyframe(
             np.eye(4, dtype=np.float32), *unpack_host(p1),
             frame_id=self.init_ref.frame_id, timestamp=self.init_ref.timestamp,
@@ -189,9 +208,9 @@ class Tracker:
         k2 = st.add_keyframe(T21, *unpack_host(p2), frame_id=fid, timestamp=timestamp)
 
         st.kf_parent[k2] = k1  # spanning-tree root edge (KeyFrame::ChangeParent)
-        good = np.asarray(init.good)
-        m_idx = np.asarray(match.idx)
-        pts3d = np.asarray(init.points)
+        good = np.asarray(good)
+        m_idx = np.asarray(m_idx)
+        pts3d = np.asarray(pts3d)
         feat1_ids = np.nonzero(good)[0]
         pt_ids = st.alloc_points(len(feat1_ids))
         st.pt_xyz[pt_ids] = pts3d[feat1_ids]

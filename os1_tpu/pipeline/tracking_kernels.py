@@ -192,7 +192,15 @@ def bootstrap(
     xy1 = f1.xy_un
     xy2 = f2.xy_un[jnp.clip(match.idx, 0, None)]
     init = initialize_two_view(xy1, xy2, match.ok, K, key)
-    return match, init
+    # Scalar head packed IN the program: the host's accept gates
+    # (n_matches, success) read one tiny announced buffer instead of
+    # dispatching follow-up reductions and cold-reading them (~130 ms of
+    # transport round trips per attempt on the tunneled TPU).
+    head = jnp.stack([
+        jnp.sum(match.ok).astype(jnp.float32),
+        init.success.astype(jnp.float32),
+    ])
+    return match, init, head
 
 
 def _triangulate_with_neighbor_impl(

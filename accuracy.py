@@ -32,7 +32,10 @@ def _force_cpu():
 
     jax.config.update("jax_platforms", "cpu")
 
-from bench import FPS_BASELINE, N_FRAMES, build_system, loop_frames, orbit_frames
+from bench import (
+    FPS_BASELINE, N_FRAMES, build_system, loop_frames, orbit_frames,
+    photo_frames,
+)
 
 
 def run_once(frames, poses, sync, th_overrides, threaded=False,
@@ -53,6 +56,8 @@ def run_once(frames, poses, sync, th_overrides, threaded=False,
     gt = [poses[fid] for (_, fid, _) in traj]
     ate = synthetic.ate_rmse(est, gt) if len(est) >= 10 else float("nan")
     lost = [i for i, s in enumerate(states) if s != TrackingState.OK]
+    if log_lost and sys_.tracker.loss_log:
+        print("   loss events:", sys_.tracker.loss_log[:12])
     digest = hashlib.sha256(
         np.ascontiguousarray(np.stack(est)).tobytes()
     ).hexdigest()[:16]
@@ -74,7 +79,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=N_FRAMES)
     ap.add_argument("--runs", type=int, default=1)
-    ap.add_argument("--seq", choices=("orbit", "loop"), default="orbit")
+    ap.add_argument("--seq", choices=("orbit", "loop", "photo"),
+                    default="orbit")
     ap.add_argument("--async", dest="async_", action="store_true",
                     help="bench configuration (pipelined + cooperative "
                          "mapping) — deterministic, like sync")
@@ -107,9 +113,12 @@ def main():
         k, v = kv.split("=", 1)
         th[k] = json.loads(v)
 
-    frames, poses = (orbit_frames if args.seq == "orbit" else loop_frames)(
-        args.frames
-    )
+    frames, poses = {
+        "orbit": orbit_frames, "loop": loop_frames, "photo": photo_frames,
+    }[args.seq](args.frames)
+    if frames is None:
+        print("sequence unavailable (no bundled photos)", file=sys.stderr)
+        sys.exit(2)
     if args.noise > 0.0:
         rng = np.random.default_rng(args.noise_seed)
         frames = np.clip(

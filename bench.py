@@ -92,6 +92,26 @@ def loop_frames(n_frames: int = N_FRAMES):
     return frames, poses
 
 
+def photo_frames(n_frames: int = N_FRAMES):
+    """REAL-imagery sequence: a room whose walls are real photographs
+    (io/realimg.py — natural texture/edge statistics from actual camera
+    images; zero-egress substitute for TUM footage) on the loop circuit.
+    Exercises FAST thresholds, the BRIEF pattern, matcher gates and the
+    vocabulary against real-world descriptor distributions with exact
+    ground truth. Returns (None, None) if no photos are bundled."""
+    from os1_tpu.io import realimg, synthetic
+
+    K = np.array([[400.0, 0, 320.0], [0, 400.0, 240.0], [0, 0, 1.0]])
+    scene = realimg.photo_room_scene()
+    if scene is None:
+        return None, None
+    poses = synthetic.loop_trajectory(n_frames)
+    frames = synthetic.render_sequence(
+        scene, poses, K, 480, 640, cache_key="photo_room_loop"
+    )
+    return frames, poses
+
+
 def run_sequence(sys_, frames):
     """Track every frame; returns (wall dt, per-frame latencies, ok fraction
     over post-initialization frames). Monocular SLAM cannot track before the

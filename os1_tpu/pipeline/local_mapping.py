@@ -533,7 +533,14 @@ class LocalMapper:
             # (a frame later) would queue behind everything dispatched in
             # between (utils/transfer.py transport discipline).
             announce(dev)
-        yield  # device triangulates; the caller tracks the next frame(s)
+        # ONE interval only for triangulation: its fetch eats a partial
+        # stall (the stage sits behind ~pipeline_depth frames of queued
+        # tracker work), but map extension is the latency-critical stage —
+        # on rotation-dominant motion (~2 deg/frame) each extra frame of
+        # tri latency is ~2 degrees of map staleness, and the loop circuit
+        # lost tracking with two-interval pacing here. Fuse/BA keep the
+        # two-interval schedule (their staleness is benign).
+        yield
         with self.timer("lm.tri.fetch"):
             if mir is not None:
                 # Compacted readback (~26 KB; transfer announced at
@@ -692,7 +699,8 @@ class LocalMapper:
                 jnp.float32(cfg.orb.scale_factor), n_levels=cfg.orb.n_levels,
             )
             announce(code)  # d2h in stream order (transport discipline)
-        yield  # device matches; the caller tracks the next frame(s)
+        yield  # two intervals: see create_new_points_steps fetch note
+        yield
         with self.timer("lm.fuse.fetch"):
             code = fetch(code)  # [L_cap, FUSE_PAIR_TOP]
 
@@ -946,6 +954,7 @@ class LocalMapper:
         with self.timer("lm.ba.dispatch"):
             dev = result(prob, state)
             announce(dev)  # d2h in stream order (transport discipline)
+        yield  # two intervals: see create_new_points_steps fetch note
         yield
         with self.timer("lm.ba.fetch"):
             res = fetch(dev)  # ONE block, outside the lock

@@ -205,7 +205,8 @@ class LoopCloser:
             with self.timer("loop.sim3"):
                 dev = self._dispatch_sim3(snap)
                 announce(dev)  # d2h in stream order
-            yield False  # device evaluates the candidate program
+            yield False  # two intervals: the pipelined tracker keeps up to
+            yield False  # pipeline_depth frames queued ahead of this dispatch
             with self.timer("loop.sim3"):
                 ok, S_cl, matched_pts = self._fetch_sim3(dev)
             if ok:
@@ -308,10 +309,11 @@ class LoopCloser:
             if self._stop_gba:
                 return  # aborted by a newer loop (LoopClosing.cc:672)
             state = it(prob, state, chunk)
-            yield
-            state = jax.block_until_ready(state)
+            yield  # chunks chain device-side; no host block (an abort can
+            #       still skip every not-yet-dispatched chunk)
         dev = result(prob, state)
         announce(dev)  # d2h in stream order
+        yield
         yield
         res = fetch(dev)
         if self._stop_gba:

@@ -188,6 +188,7 @@ class Relocalizer:
                     )
             if n_good < 50:
                 continue
+            self.last_reloc_kf = kf  # the matched keyframe (new ref)
             return True, Tcw, b
         return False, None, None
 
@@ -244,6 +245,7 @@ class Relocalizer:
                     )
             if n_good < 50:
                 continue
+            self.last_reloc_kf = kf  # the matched keyframe (new ref)
             return True, Tcw, bind
         return False, None, None
 

@@ -56,8 +56,11 @@ class Tracker:
     # latency is ~2 frames of device work, so depth 2 hides it and the
     # steady-state fps becomes 1/occupancy instead of 1/latency. The pose
     # chain is a pure device-to-device dependency either way; only the
-    # host-visible FSM lags `pipeline_depth` frames.
-    pipeline_depth: int = 3
+    # host-visible FSM lags `pipeline_depth` frames. Depth 2 (not 3): every
+    # extra in-flight frame is ~30 ms of queued device work that every
+    # cooperative mapping-stage fetch must ALSO wait behind — depth 3 made
+    # stage results 2-3 frames stale for +0 measured throughput.
+    pipeline_depth: int = 2
     state: TrackingState = TrackingState.NO_IMAGES_YET
     last: TrackedFrame | None = None
     init_ref: TrackedFrame | None = None
@@ -772,6 +775,15 @@ class Tracker:
                 self._prev_Tcw = None
                 self._chain = None
                 self.last_reloc_frame_id = fid
+                # The matched keyframe becomes the reference: the fallback
+                # path tracks against ref_kf, and a stale (possibly culled)
+                # pre-loss reference made every post-reloc frame fail with
+                # n_pre=0 and immediately re-lose (reloc-storm loss_log
+                # signature) — the reference re-derives mpReferenceKF from
+                # the reloc frame's points (Tracking.cc:UpdateLocalKeyFrames).
+                rk = getattr(self.relocalizer, "last_reloc_kf", -1)
+                if rk >= 0 and self.store.kf_valid[rk]:
+                    self.ref_kf = int(rk)
                 self.state = TrackingState.OK
                 self._record_trajectory(timestamp, fid, self.last.Tcw)
 

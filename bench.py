@@ -145,6 +145,14 @@ GATE_ATE_ORBIT = 0.2  # ~2x the deterministic sync-mode ATE (accuracy.py: 0.097)
 GATE_ATE_LOOP = 0.22  # 2% of the ~10.9-unit loop path (pre-GBA convergence)
 GATE_OK_FRACTION = 1.0
 GATE_MIN_LOOPS = 1
+# Real-imagery circuit (photo-textured room): repetitive mirror-tiled
+# photo walls are harder than the synthetic scenes (ratio-test ambiguity,
+# one mid-run excursion into unmapped territory while LOST) — gates lock in
+# the demonstrated level: a closed loop, ATE ~2.3% of the 10.9-unit path,
+# and >= 70% tracked after the (slow, ~17-frame) real-texture bootstrap.
+GATE_ATE_PHOTO = 0.25
+GATE_OK_PHOTO = 0.70
+GATE_MIN_LOOPS_PHOTO = 1
 
 
 def _traj_ate(sys_, poses):
@@ -211,6 +219,30 @@ def main():
     n_loops = lsys.loop_closer.n_loops_closed
     lsys.shutdown()
 
+    # ---- REAL-imagery sequence (photo-textured room, same circuit) ----
+    # Config 2's spirit (BASELINE.json: ATE on real footage) in a
+    # zero-egress environment: real photographs as scene textures exercise
+    # the extractor/matcher/vocabulary against real descriptor statistics
+    # with exact ground truth (io/realimg.py).
+    pframes, pposes = photo_frames()
+    photo = None
+    if pframes is not None:
+        psys = build_system()
+        run_sequence(psys, pframes)  # warmup pass
+        psys.shutdown()
+        psys = build_system()
+        pdt, _, p_ok_frac = run_sequence(psys, pframes)
+        psys.flush()
+        ate_photo = _traj_ate(psys, pposes)
+        photo = {
+            "ate_rmse": round(ate_photo, 5),
+            "n_loops_closed": psys.loop_closer.n_loops_closed,
+            "fps": round(len(pframes) / pdt, 2),
+            "ok_fraction": round(p_ok_frac, 3),
+            "loss_events": [[int(f), r] for f, r in psys.tracker.loss_log],
+        }
+        psys.shutdown()
+
     gates = {
         "ate_orbit": [round(ate, 5), GATE_ATE_ORBIT, bool(ate <= GATE_ATE_ORBIT)],
         "ok_fraction": [round(ok_frac, 3), GATE_OK_FRACTION,
@@ -219,6 +251,14 @@ def main():
                      bool(ate_loop <= GATE_ATE_LOOP)],
         "n_loops_closed": [n_loops, GATE_MIN_LOOPS, bool(n_loops >= GATE_MIN_LOOPS)],
     }
+    if photo is not None:
+        gates["ate_photo"] = [photo["ate_rmse"], GATE_ATE_PHOTO,
+                              bool(photo["ate_rmse"] <= GATE_ATE_PHOTO)]
+        gates["ok_photo"] = [photo["ok_fraction"], GATE_OK_PHOTO,
+                             bool(photo["ok_fraction"] >= GATE_OK_PHOTO)]
+        gates["n_loops_photo"] = [photo["n_loops_closed"], GATE_MIN_LOOPS_PHOTO,
+                                  bool(photo["n_loops_closed"]
+                                       >= GATE_MIN_LOOPS_PHOTO)]
     failures = [k for k, (_, _, ok) in gates.items() if not ok]
 
     print(
@@ -251,6 +291,7 @@ def main():
                             [int(f), r] for f, r in lsys.tracker.loss_log
                         ],
                     },
+                    "photo_seq": photo,
                     "gates": gates,
                     "gate_failures": failures,
                     "stage_ms_per_call": stage_ms,

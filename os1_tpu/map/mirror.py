@@ -44,12 +44,14 @@ _UPD_BUCKETS = (256, 1024, 4096, 16384)
 
 
 @jax.jit
-def _insert_row(kf_xy, kf_angle, kf_octave, kf_desc, k, xy, angle, octave, desc):
+def _insert_row(kf_xy, kf_angle, kf_octave, kf_desc, kf_feat_valid, k,
+                xy, angle, octave, desc, valid):
     return (
         kf_xy.at[k].set(xy),
         kf_angle.at[k].set(angle),
         kf_octave.at[k].set(octave),
         kf_desc.at[k].set(desc),
+        kf_feat_valid.at[k].set(valid),
     )
 
 
@@ -61,6 +63,11 @@ def _scatter_pts(cur, idx, rows):
 @jax.jit
 def _scatter_kf(feat_valid, obs_point, idx, fv_rows, op_rows):
     return feat_valid.at[idx].set(fv_rows), obs_point.at[idx].set(op_rows)
+
+
+@jax.jit
+def _scatter_rows(arr, idx, rows):
+    return arr.at[idx].set(rows)
 
 
 def _row_changed(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -95,6 +102,11 @@ class DeviceMirror:
     version: int = field(init=False, default=0)
 
     def __post_init__(self):
+        # Keyframe rows published straight from device frames whose HOST
+        # feat_valid row is still all-False (deferred materialization): the
+        # diff publisher must NOT clobber their live kf_feat_valid row with
+        # the store's False until the store materializes.
+        self._pending_rows = set()
         self.refresh()
 
     # ------------------------------------------------------------------ #
@@ -116,6 +128,10 @@ class DeviceMirror:
         self._shadow = {f: getattr(st, f).copy() for f in _PT_FIELDS}
         self._shadow["kf_feat_valid"] = st.kf_feat_valid.copy()
         self._shadow["kf_obs_point"] = st.kf_obs_point.copy()
+        # Device-published pending rows are clobbered by a wholesale
+        # republish; their observations stay excluded (feat_valid False)
+        # until the host materializes them — safe, merely conservative.
+        self._pending_rows = set()
         self.version += 1
 
     def refresh_dynamic(self) -> None:
@@ -155,28 +171,55 @@ class DeviceMirror:
         # per-feature binding rows are diffed per keyframe.
         self.kf_T = jnp.asarray(st.kf_T)
         self.kf_valid = jnp.asarray(st.kf_valid)
-        kch = (
-            _row_changed(st.kf_feat_valid, sh["kf_feat_valid"])
-            | _row_changed(st.kf_obs_point, sh["kf_obs_point"])
-        )
-        kidx = np.nonzero(kch)[0]
+        # Pending device-inserted rows graduate once the store materializes
+        # (or the keyframe dies): from then on the store is authoritative.
+        if self._pending_rows:
+            self._pending_rows = {
+                k for k in self._pending_rows
+                if st.kf_valid[k] and not st.kf_feat_valid[k].any()
+            }
+        kch_fv = _row_changed(st.kf_feat_valid, sh["kf_feat_valid"])
+        kch_op = _row_changed(st.kf_obs_point, sh["kf_obs_point"])
+        # Do not push the store's all-False feat_valid over a live
+        # device-published row (the keyframe's features exist on device; the
+        # host materializes them later).
+        for k in self._pending_rows:
+            kch_fv[k] = False
         K = st.cfg.max_keyframes
-        if len(kidx) > K // 4:
+        fidx = np.nonzero(kch_fv)[0]
+        if len(fidx) > K // 4:
+            keep = None
+            if self._pending_rows:
+                pk = np.array(sorted(self._pending_rows), np.int32)
+                keep = np.asarray(self.kf_feat_valid[jnp.asarray(pk)])
             self.kf_feat_valid = jnp.asarray(st.kf_feat_valid)
-            self.kf_obs_point = jnp.asarray(st.kf_obs_point)
+            if keep is not None:
+                self.kf_feat_valid = _scatter_rows(
+                    self.kf_feat_valid, jnp.asarray(pk), jnp.asarray(keep)
+                )
             sh["kf_feat_valid"] = st.kf_feat_valid.copy()
-            sh["kf_obs_point"] = st.kf_obs_point.copy()
-        elif len(kidx):
-            D = next(b for b in (4, 16, 64, K) if b >= len(kidx))
-            pk = np.full(D, kidx[0], np.int32)
-            pk[: len(kidx)] = kidx
-            self.kf_feat_valid, self.kf_obs_point = _scatter_kf(
-                self.kf_feat_valid, self.kf_obs_point, jnp.asarray(pk),
+        elif len(fidx):
+            D = next(b for b in (4, 16, 64, K) if b >= len(fidx))
+            pk = np.full(D, fidx[0], np.int32)
+            pk[: len(fidx)] = fidx
+            self.kf_feat_valid = _scatter_rows(
+                self.kf_feat_valid, jnp.asarray(pk),
                 jnp.asarray(np.ascontiguousarray(st.kf_feat_valid[pk])),
+            )
+            sh["kf_feat_valid"][fidx] = st.kf_feat_valid[fidx]
+        oidx = np.nonzero(kch_op)[0]
+        if len(oidx) > K // 4:
+            self.kf_obs_point = jnp.asarray(st.kf_obs_point)
+            sh["kf_obs_point"] = st.kf_obs_point.copy()
+        elif len(oidx):
+            D = next(b for b in (4, 16, 64, K) if b >= len(oidx))
+            pk = np.full(D, oidx[0], np.int32)
+            pk[: len(oidx)] = oidx
+            self.kf_obs_point = _scatter_rows(
+                self.kf_obs_point, jnp.asarray(pk),
                 jnp.asarray(np.ascontiguousarray(st.kf_obs_point[pk])),
             )
-            sh["kf_feat_valid"][kidx] = st.kf_feat_valid[kidx]
-            sh["kf_obs_point"][kidx] = st.kf_obs_point[kidx]
+            sh["kf_obs_point"][oidx] = st.kf_obs_point[oidx]
         self.version += 1
 
     def insert_keyframe_row(self, k: int) -> None:
@@ -191,13 +234,20 @@ class DeviceMirror:
         """Publish a new keyframe row straight from the frame's
         device-resident feature arrays — zero host<->device bytes (the frame
         was extracted on device; the host store row materializes later on
-        the mapping worker)."""
-        self.kf_xy, self.kf_angle, self.kf_octave, self.kf_desc = (
-            _insert_row(self.kf_xy, self.kf_angle, self.kf_octave,
-                        self.kf_desc, jnp.int32(k), frame.xy_un,
-                        frame.feats.angle, frame.feats.octave,
-                        frame.feats.desc)
+        the mapping worker). kf_feat_valid is included: device-side
+        consumers (fusion targets, BA observation gathers) gate on it, and
+        the mirror row is REAL from creation even though the host store's
+        row materializes later. The host shadow still holds False for this
+        row, so the later materialization diff simply re-publishes the same
+        values."""
+        (self.kf_xy, self.kf_angle, self.kf_octave, self.kf_desc,
+         self.kf_feat_valid) = _insert_row(
+            self.kf_xy, self.kf_angle, self.kf_octave,
+            self.kf_desc, self.kf_feat_valid, jnp.int32(k), frame.xy_un,
+            frame.feats.angle, frame.feats.octave, frame.feats.desc,
+            frame.feats.valid,
         )
+        self._pending_rows.add(int(k))
 
     def refresh_points(self) -> None:
         """Re-publish the mutable state (alias kept for callers that only

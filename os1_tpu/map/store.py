@@ -113,6 +113,13 @@ class MapStore:
         self._kf_seq_next = 0
         self.kf_parent = np.full(K, -1, np.int32)
 
+        # Trajectory-anchor links for culled keyframes (the reference's
+        # KeyFrame::mTcp saved at SetBadFlag, KeyFrame.cc:595: pose relative
+        # to the parent at cull time, so SaveTrajectoryTUM can walk from a
+        # dead reference keyframe to a live ancestor): (slot, seq) ->
+        # (parent_slot, parent_seq, T_child_wrt_parent).
+        self.culled_links = {}
+
         self.pt_xyz = np.zeros((P, 3), np.float32)
         self.pt_valid = np.zeros(P, bool)
         self.pt_desc = np.zeros((P, 8), np.uint32)
@@ -397,8 +404,27 @@ class MapStore:
     def cull_keyframe(self, kf: int) -> None:
         """SetBadFlag for a keyframe: reparent its spanning-tree children,
         release its observations, free the slot (KeyFrame::SetBadFlag,
-        KeyFrame.cc:478-613)."""
+        KeyFrame.cc:478-613). The pose relative to the parent is saved
+        (mTcp) so frame-trajectory anchors survive the cull."""
         self._reparent_children(kf)
+        p = int(self.kf_parent[kf])
+        if p < 0 or not self.kf_valid[p]:
+            # Keyframes culled before their own mapping pass never received
+            # a spanning-tree parent — assign the anchor now (strongest
+            # older covisible; any covisible as a last resort) so the
+            # trajectory walk does not dead-end in the pre-correction world.
+            self.update_spanning_tree(kf)
+            p = int(self.kf_parent[kf])
+            if p < 0 or not self.kf_valid[p]:
+                w = self.covisibility_weights(kf)
+                p = int(np.argmax(w)) if w.max() > 0 else -1
+        if p >= 0 and self.kf_valid[p]:
+            T_cp = (self.kf_T[kf] @ np.linalg.inv(self.kf_T[p])).astype(
+                np.float32
+            )
+            self.culled_links[(int(kf), int(self.kf_seq[kf]))] = (
+                p, int(self.kf_seq[p]), T_cp,
+            )
         pts = np.unique(self.kf_obs_point[kf][self.kf_obs_point[kf] >= 0])
         self.remove_observations(pts, np.full(len(pts), kf, np.int64))
         self.kf_valid[kf] = False

@@ -75,14 +75,34 @@ def assemble_global_ba(store: MapStore, cfg: SlamConfig):
     okf_c = np.clip(okf, 0, None)
     oft_c = np.clip(oft, 0, None)
     slots = lookup[okf_c]
-    valid = (okf >= 0) & (slots >= 0)
+    # Exclude observations in keyframes whose feature arrays are not yet
+    # materialized (deferred keyframes: the worker/scheduler fills kf_xy
+    # later, LocalMapping.cc:125-153 analogue) — their kf_xy rows are still
+    # zeros and read as measurements at pixel (0,0), which sent a fresh
+    # keyframe 46 units away in a post-loop GBA.
+    valid = (okf >= 0) & (slots >= 0) & store.kf_feat_valid[okf_c, oft_c]
 
     fixed = np.ones(C, bool)  # padding slots stay fixed at identity
     fixed[: len(cams)] = False
-    # Gauge: the oldest keyframe by insertion seq (Optimizer.cc:120 fixes
-    # keyframe id 0; slot ids recycle here so age is kf_seq — frame ids can
-    # collide after a session merge, kf_seq is monotonic by construction).
-    fixed[cam_slot[min(cams, key=lambda c: int(store.kf_seq[c]))]] = True
+    # Gauge: the TWO oldest keyframes by insertion seq. The reference fixes
+    # only keyframe 0 (Optimizer.cc:120) and relies on g2o staying near the
+    # initialization along the free monocular-scale direction; this solver
+    # measurably wanders it (a post-loop GBA rescaled the whole map ~2.5x,
+    # which breaks every scale-relative anchor recorded before it), so the
+    # second-oldest keyframe pins scale exactly as the local BA's
+    # no-boundary gauge does.
+    by_age = sorted(cams, key=lambda c: int(store.kf_seq[c]))
+    fixed[cam_slot[by_age[0]]] = True
+    if len(by_age) > 1:
+        fixed[cam_slot[by_age[1]]] = True
+    # A camera with (almost) no surviving observations in the problem is
+    # unconstrained — the LM step sends it arbitrarily far (observed: a
+    # fresh keyframe whose points were all filtered teleported 46 units).
+    # Such cameras stay fixed at their current pose.
+    n_obs_cam = np.bincount(slots[valid].ravel(), minlength=C)
+    for c, i in cam_slot.items():
+        if n_obs_cam[i] < 6:
+            fixed[i] = True
     cam_T = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
     cam_T[: len(cams)] = store.kf_T[cams]
     M = store.cfg.max_obs_per_point
@@ -111,7 +131,8 @@ def assemble_global_ba(store: MapStore, cfg: SlamConfig):
         intr=jnp.asarray(cfg.intr),
     )
     meta = dict(cams=cams, cam_slot=cam_slot, pts=pts, okf=okf, valid=valid,
-                fixed=fixed, old_T=store.kf_T[cams].copy(), epoch=store.epoch)
+                fixed=fixed, old_T=store.kf_T[cams].copy(), epoch=store.epoch,
+                cam_seq={c: int(store.kf_seq[c]) for c in cams})
     return prob, meta
 
 
@@ -124,9 +145,17 @@ def apply_global_ba(store: MapStore, cfg: SlamConfig, res, meta) -> None:
         return
     cams, cam_slot, fixed = meta["cams"], meta["cam_slot"], meta["fixed"]
     pts, okf = meta["pts"], meta["okf"]
+    # ABA guard: the solve is chunked over several frames in the
+    # cooperative pipeline; a keyframe culled meanwhile may have had its
+    # slot RE-ALLOCATED (lowest-first) to a brand-new keyframe. Writing the
+    # solved pose into the new occupant teleports it into the old world
+    # (observed: a 46-unit trajectory anchor). Identity is (slot, kf_seq).
+    cam_seq = meta["cam_seq"]
+    still = {c for c in cams
+             if store.kf_valid[c] and int(store.kf_seq[c]) == cam_seq[c]}
     in_prob_kf = np.zeros(store.cfg.max_keyframes, bool)
-    in_prob_kf[cams] = True
-    old_pose = {c: meta["old_T"][i] for c, i in cam_slot.items()}
+    in_prob_kf[list(still)] = True
+    old_pose = {c: meta["old_T"][i] for c, i in cam_slot.items() if c in still}
     new_T = np.asarray(res.cam_T)
 
     # New keyframes (inserted during the solve): correct via the spanning
@@ -134,7 +163,7 @@ def apply_global_ba(store: MapStore, cfg: SlamConfig, res, meta) -> None:
     # (LoopClosing.cc:690-720: Tchildc = Tchild * Twc(parent) * TcwGBA(parent)).
     # Parents always predate children, so one ascending-AGE pass suffices
     # (age = kf_seq; slot ids recycle and frame ids can collide post-merge).
-    corrected = {c: new_T[i] for c, i in cam_slot.items()}
+    corrected = {c: new_T[i] for c, i in cam_slot.items() if c in still}
     live = np.nonzero(store.kf_valid)[0]
     live = live[np.argsort(store.kf_seq[live], kind="stable")]
     for k in live:
@@ -176,9 +205,11 @@ def apply_global_ba(store: MapStore, cfg: SlamConfig, res, meta) -> None:
             xc = store.pt_xyz[sel] @ T_old[:3, :3].T + T_old[:3, 3]
             store.pt_xyz[sel] = (xc - T_new[:3, 3]) @ T_new[:3, :3]
 
-    # Outlier erase for observations that stayed in the problem.
+    # Outlier erase for observations that stayed in the problem (only
+    # against keyframes whose slot identity survived — see ABA guard).
     inl = np.asarray(res.obs_inlier)[: len(pts)]
-    out_i, out_s = np.nonzero(meta["valid"] & ~inl & alive[:, None])
+    okf_still = np.isin(okf, list(still)) if still else np.zeros_like(okf, bool)
+    out_i, out_s = np.nonzero(meta["valid"] & ~inl & alive[:, None] & okf_still)
     store.remove_observations(pts[out_i], okf[out_i, out_s])
     dead = pts[alive & (store.pt_n_obs[pts] < 2)]
     if len(dead):
@@ -307,7 +338,7 @@ class LocalMapper:
                 for C_pad in C_BUCKETS:
                     jax.block_until_ready(tk.assemble_ba_mirror(
                         mir.pt_xyz, mir.pt_obs_kf, mir.pt_obs_feat,
-                        mir.kf_xy, mir.kf_octave,
+                        mir.kf_xy, mir.kf_octave, mir.kf_feat_valid,
                         jnp.zeros(P_pad, jnp.int32), jnp.zeros(P_pad, bool),
                         jnp.tile(jnp.eye(4), (C_pad, 1, 1)),
                         jnp.full(st.cfg.max_keyframes, -1, jnp.int32),
@@ -569,22 +600,25 @@ class LocalMapper:
             # Features bound since the snapshot (the tracker may have created
             # a keyframe meanwhile) must not be re-triangulated.
             acc = acc & (st.kf_obs_point[kf] < 0)[None, :]
-            taken = np.zeros(acc.shape[1], bool)  # features already triangulated
-            new_ids = []
-            for j, nb in enumerate(nbs):
-                feats = np.nonzero(acc[j] & ~taken)[0]
-                if len(feats) == 0:
-                    continue
+            # First accepting neighbor per feature (the mirror path already
+            # dedups on device; the host path can still have several) —
+            # identical winner to the old per-neighbor `taken` loop, applied
+            # as ONE batch (the loop was ~10 ms/keyframe of host time).
+            j_first = np.argmax(acc, axis=0)
+            any_acc = acc.any(axis=0) & (j_first < len(nbs))  # skip pad lanes
+            feats = np.nonzero(any_acc)[0]
+            if len(feats):
+                js = j_first[feats]
+                order = np.argsort(js, kind="stable")  # old apply order
+                feats, js = feats[order], js[order]
                 free = int((~st.pt_valid).sum())
-                feats = feats[: max(0, free)]
-                if len(feats) == 0:
-                    break
-                taken[feats] = True
+                feats, js = feats[:free], js[:free]
+            if len(feats):
                 ids = st.alloc_points(len(feats))
-                st.pt_xyz[ids] = pts_np[j, feats]
+                st.pt_xyz[ids] = pts_np[js, feats]
                 st.pt_first_seq[ids] = st.kf_seq[kf]
                 st.pt_desc[ids] = st.kf_desc[kf, feats]
-                st.pt_far[ids] = far_np[j, feats]
+                st.pt_far[ids] = far_np[js, feats]
                 # Far-point origin taxonomy (reference plOrigen,
                 # MapPoint.h:404-444 / LocalMapping.cc:255-276): points
                 # routed to quasi-infinity by the parallax gate are
@@ -595,25 +629,23 @@ class LocalMapper:
                     FAR_COS, FAR_LOWCOS, FAR_NORMAL, FAR_SVDINF,
                 )
 
-                f_np = far_np[j, feats]
-                cos_j = cosp_np[j, feats]
-                qinf = np.linalg.norm(pts_np[j, feats], axis=1) >= 1e5
-                cls = np.where(
+                f_np = far_np[js, feats]
+                cos_j = cosp_np[js, feats]
+                qinf = np.linalg.norm(pts_np[js, feats], axis=1) >= 1e5
+                st.pt_far_class[ids] = np.where(
                     f_np, FAR_COS,
                     np.where(cos_j > self.far_cos_user, FAR_LOWCOS,
                              np.where(qinf, FAR_SVDINF, FAR_NORMAL)),
                 ).astype(np.uint8)
-                st.pt_far_class[ids] = cls
                 n_new = len(ids)
+                nb_arr = np.asarray(nbs, np.int64)[js]
                 st.add_observations(
                     np.concatenate([ids, ids]),
-                    np.concatenate([np.full(n_new, kf), np.full(n_new, nb)]),
-                    np.concatenate([feats, nb_idx_np[j, feats]]),
+                    np.concatenate([np.full(n_new, kf), nb_arr]),
+                    np.concatenate([feats, nb_idx_np[js, feats]]),
                 )
-                new_ids.append(ids)
-            if new_ids:
                 st.update_point_derived(
-                    np.concatenate(new_ids), cfg.orb.scale_factor, cfg.orb.n_levels
+                    ids, cfg.orb.scale_factor, cfg.orb.n_levels
                 )
                 self._publish()
 
@@ -707,22 +739,74 @@ class LocalMapper:
         with self.timer("lm.fuse.apply"), self.lock:
             if st.epoch != epoch0:
                 return
-            touched = []
+            # Flatten every lane's matches into ONE batch (the per-lane
+            # _apply_fuse loop cost ~17 ms/keyframe of host time at 92
+            # lanes). Within the batch, first-occurrence wins for both
+            # (target, feature) and (target, point) keys — the second key
+            # also closes a pair-lane hazard: the same point can reach the
+            # new keyframe through several source lanes and must not bind
+            # to two of its features.
+            t_l, p_l, f_l = [], [], []
             for lane in range(L):
-                t = tgt[lane]
-                ids_row = snap_src_obs[lane]
                 c = code[lane]
                 c = c[c >= 0]
                 slots = c >> 12
-                feats_m = c & 0xFFF
-                keep = ids_row[slots] >= 0
-                touched.append(
-                    self._apply_fuse(t, ids_row, slots[keep], feats_m[keep])
-                )
-            touched = [t for t in touched if len(t)]
-            touched = np.unique(np.concatenate(touched)) if touched else []
+                fm = c & 0xFFF
+                pids = snap_src_obs[lane][slots]
+                keep = pids >= 0
+                n_k = int(keep.sum())
+                if n_k:
+                    t_l.append(np.full(n_k, tgt[lane], np.int64))
+                    p_l.append(pids[keep].astype(np.int64))
+                    f_l.append(fm[keep].astype(np.int64))
+            if not t_l:
+                self._publish()
+                return
+            t_all = np.concatenate(t_l)
+            p_all = np.concatenate(p_l)
+            f_all = np.concatenate(f_l)
+            live = st.pt_valid[p_all]
+            t_all, p_all, f_all = t_all[live], p_all[live], f_all[live]
+
+            def first_mask(keys):
+                order = np.argsort(keys, kind="stable")
+                sk = keys[order]
+                first = np.concatenate([[True], sk[1:] != sk[:-1]])
+                m = np.zeros(len(keys), bool)
+                m[order[first]] = True
+                return m
+
+            N_f = self.cfg.orb.n_features
+            P_cap = st.cfg.max_points
+            uniq = (first_mask(t_all * N_f + f_all)
+                    & first_mask(t_all * P_cap + p_all))
+            existing = st.kf_obs_point[t_all, f_all]
+            dup = (existing >= 0) & st.pt_valid[np.clip(existing, 0, None)]
+            already = (st.pt_obs_kf[p_all] == t_all[:, None]).any(1)
+            simple = uniq & ~dup & ~already
+            st.add_observations(p_all[simple], t_all[simple], f_all[simple])
+            touched = [p_all[simple]]
+            # True duplicates walk the keep-better-observed Replace path
+            # (ORBmatcher::Fuse + MapPoint::Replace, MapPoint.cc:132-175).
+            for t, p, f in zip(t_all[uniq & dup], p_all[uniq & dup],
+                               f_all[uniq & dup]):
+                t, p, f = int(t), int(p), int(f)
+                if not st.pt_valid[p]:
+                    continue  # died as the loser of an earlier Replace
+                e = int(st.kf_obs_point[t, f])
+                if e >= 0 and st.pt_valid[e] and e != p:
+                    if st.pt_n_obs[e] >= st.pt_n_obs[p]:
+                        st.replace_point(p, e)
+                        touched.append(np.array([e], np.int64))
+                    else:
+                        st.replace_point(e, p)
+                        touched.append(np.array([p], np.int64))
+                elif e < 0 and not (st.pt_obs_kf[p] == t).any():
+                    st.add_observation(p, t, f)
+                    touched.append(np.array([p], np.int64))
+            touched = np.unique(np.concatenate(touched))
+            touched = touched[st.pt_valid[touched]]
             if len(touched):
-                touched = touched[st.pt_valid[touched]]
                 st.update_point_derived(touched, self.cfg.orb.scale_factor,
                                         self.cfg.orb.n_levels)
             self._publish()
@@ -1011,10 +1095,30 @@ class LocalMapper:
         for c, i in cam_slot.items():
             slot_lookup[c] = i
         okf_c = np.clip(okf, 0, None)
+        oft_c0 = np.clip(oft, 0, None)
         slots = slot_lookup[okf_c]
-        valid = (okf >= 0) & (slots >= 0)
+        valid_raw = (okf >= 0) & (slots >= 0)
+        # Observations the problem will actually contain. Un-materialized
+        # keyframes' HOST rows are zeros and must be excluded — EXCEPT the
+        # rows the mirror still holds as device-published pending rows
+        # (mirror.insert_keyframe_row_device): the device gathers their
+        # REAL feature arrays, so they are live observations. Getting this
+        # set exactly right matters twice over: counting too few fixes the
+        # newest keyframe at its odometry pose in every BA (a drag anchor
+        # that decayed tracking); counting too many leaves a free camera
+        # with zero real observations (it teleports).
+        feat_ok = st.kf_feat_valid[okf_c, oft_c0]
+        if self.mirror is not None and self.mirror._pending_rows:
+            pending = np.zeros(st.cfg.max_keyframes, bool)
+            pending[list(self.mirror._pending_rows)] = True
+            feat_ok = feat_ok | pending[okf_c]
+        valid = valid_raw & feat_ok
         obs_valid = np.zeros((P_BA, M), bool)
         obs_valid[:P] = valid  # host copy for the outlier-erase writeback
+        n_obs_cam = np.bincount(slots[valid].ravel(), minlength=C_BA)
+        for c, i in cam_slot.items():
+            if n_obs_cam[i] < 6:
+                fixed[i] = True
 
         pts_idx = np.zeros(P_BA, np.int32)
         pts_idx[:P] = pts
@@ -1032,7 +1136,7 @@ class LocalMapper:
             d_obs_cam, d_obs_uv, d_obs_s2, d_obs_valid, d_points = (
                 tk.assemble_ba_mirror(
                     mir.pt_xyz, mir.pt_obs_kf, mir.pt_obs_feat,
-                    mir.kf_xy, mir.kf_octave,
+                    mir.kf_xy, mir.kf_octave, mir.kf_feat_valid,
                     jnp.asarray(pts_idx), jnp.asarray(pvalid),
                     jnp.asarray(cam_T), jnp.asarray(slot_lookup),
                     jnp.asarray(cfg.sigma2_table), jnp.asarray(cfg.intr),
@@ -1071,7 +1175,8 @@ class LocalMapper:
                 intr=jnp.asarray(cfg.intr),
             )
         meta = dict(pts=pts, okf=okf, cam_slot=cam_slot, fixed=fixed,
-                    obs_valid=obs_valid, P=P, epoch=st.epoch)
+                    obs_valid=obs_valid, P=P, epoch=st.epoch,
+                    cam_seq={c: int(st.kf_seq[c]) for c in cams})
         return prob, meta
 
     def _local_ba_apply(self, res, meta) -> None:
@@ -1080,16 +1185,27 @@ class LocalMapper:
             return  # store was reset while the solve ran
         pts, okf, P = meta["pts"], meta["okf"], meta["P"]
         fixed, obs_valid = meta["fixed"], meta["obs_valid"]
+        cam_seq = meta["cam_seq"]
         new_T = np.asarray(res.cam_T)
+        still = set()
         for c, i in meta["cam_slot"].items():
+            # ABA guard: a keyframe culled during the chunked solve may have
+            # had its slot re-allocated to a NEW keyframe — identity is
+            # (slot, kf_seq), not the slot alone.
+            if not (st.kf_valid[c] and int(st.kf_seq[c]) == cam_seq[c]):
+                continue
+            still.add(c)
             if not fixed[i]:
                 st.kf_T[c] = new_T[i]
         alive = st.pt_valid[pts]  # a point may have been fused/culled meanwhile
         st.pt_xyz[pts[alive]] = np.asarray(res.points)[:P][alive]
 
-        # Erase outlier observations (Optimizer.cc:520-556), batched.
+        # Erase outlier observations (Optimizer.cc:520-556), batched; only
+        # against keyframes whose slot identity survived the solve.
         inl = np.asarray(res.obs_inlier)[:P]
-        out_i, out_s = np.nonzero(obs_valid[:P] & ~inl & alive[:, None])
+        okf_still = np.isin(okf, list(still)) if still else np.zeros_like(okf, bool)
+        out_i, out_s = np.nonzero(obs_valid[:P] & ~inl & alive[:, None]
+                                  & okf_still)
         st.remove_observations(pts[out_i], okf[out_i, out_s])
         # Cull points left with < 2 observations.
         dead = pts[alive & (st.pt_n_obs[pts] < 2)]

@@ -151,6 +151,22 @@ class LoopCloser:
     lock: object = None  # threading.RLock | None
     mapping_worker: object = None
     on_map_updated: object = None  # callback() after async GBA writeback
+    # True while a closure attempt is in flight (Sim3 candidates
+    # snapshotted but the correction not yet applied/abandoned). The
+    # tracker's keyframe gate consults this: a keyframe created in that
+    # window exists in the PRE-correction world but is missed by the
+    # correction's covisible-group walk, leaving it ~300 px inconsistent
+    # after the map moves (the reference gets this for free — keyframe
+    # insertion is gated on LocalMapping not being stopped, and CorrectLoop
+    # stops it, Tracking.cc:719 / LoopClosing.cc:413-431).
+    closing_active: bool = False
+    # Called immediately after correct() applied (BEFORE the global BA):
+    # the world just moved, so the mirror must republish and the tracker
+    # re-anchor NOW — keyframes created while a chunked GBA runs against a
+    # stale mirror carry pre-correction poses that the GBA's spanning-tree
+    # propagation then composes with post-correction parents (observed:
+    # a 46-unit keyframe teleport). Wired by System.
+    on_corrected: object = None
     timer: object = None  # StageTimer | None
     # Distributed solver backend (parallel.backend.MeshBABackend), wired by
     # System when a mesh exists: global BA runs landmark-sharded, the
@@ -200,46 +216,54 @@ class LoopCloser:
                 for c in candidates[:3]
             ]
             epoch0 = self.store.epoch
-        hits = []
-        for cand, snap in snaps:
-            with self.timer("loop.sim3"):
-                dev = self._dispatch_sim3(snap)
-                announce(dev)  # d2h in stream order
-            yield False  # two intervals: the pipelined tracker keeps up to
-            yield False  # pipeline_depth frames queued ahead of this dispatch
-            with self.timer("loop.sim3"):
-                ok, S_cl, matched_pts = self._fetch_sim3(dev)
-            if ok:
-                hits.append((cand, S_cl, matched_pts))
-                break
-        if not hits:
+        if not snaps:
             return
-        with self.lock:
-            if self.store.epoch != epoch0:
-                return  # system reset while the device ran
-        cand, S_cl, matched_pts = hits[0]
-        # A running global BA belongs to a previous (now superseded) loop:
-        # abort and join it before correcting (LoopClosing.cc:416-425).
-        with self.timer("loop.gba_abort"):
-            self._abort_running_gba()
-        # Quiesce local mapping before mutating the whole map — without this
-        # barrier a mapper stage dispatched on pre-loop poses would write
-        # back over the corrected ones (LoopClosing.cc:413-431 semantics).
-        # The cooperative scheduler needs no barrier: mapping steps for the
-        # next keyframe cannot start while this generator runs.
-        with self.timer("loop.stop_barrier"):
-            if self.mapping_worker is not None:
-                self.mapping_worker.request_stop()
-                self.mapping_worker.wait_stopped(timeout=60.0)
         try:
-            with self.timer("loop.correct"), self.lock:
-                if self.store.kf_valid[kf] and self.store.kf_valid[cand]:
-                    self.correct(kf, cand, S_cl, matched_pts)
-                    self.last_loop_kf = kf_count
-                    self.n_loops_closed += 1
+            hits = []
+            for cand, snap in snaps:
+                with self.timer("loop.sim3"):
+                    dev = self._dispatch_sim3(snap)
+                    announce(dev)  # d2h in stream order
+                yield False  # two intervals: the pipelined tracker keeps up
+                yield False  # to pipeline_depth frames queued ahead
+                with self.timer("loop.sim3"):
+                    ok, S_cl, matched_pts = self._fetch_sim3(dev)
+                if ok:
+                    hits.append((cand, S_cl, matched_pts))
+                    break
+            if not hits:
+                return
+            with self.lock:
+                if self.store.epoch != epoch0:
+                    return  # system reset while the device ran
+            cand, S_cl, matched_pts = hits[0]
+            # A running global BA belongs to a previous (now superseded)
+            # loop: abort and join it before correcting (LoopClosing.cc:
+            # 416-425).
+            with self.timer("loop.gba_abort"):
+                self._abort_running_gba()
+            # Quiesce local mapping before mutating the whole map — without
+            # this barrier a mapper stage dispatched on pre-loop poses would
+            # write back over the corrected ones (LoopClosing.cc:413-431).
+            # The cooperative scheduler needs no barrier: mapping steps for
+            # the next keyframe cannot start while this generator runs.
+            with self.timer("loop.stop_barrier"):
+                if self.mapping_worker is not None:
+                    self.mapping_worker.request_stop()
+                    self.mapping_worker.wait_stopped(timeout=60.0)
+            try:
+                with self.timer("loop.correct"), self.lock:
+                    if self.store.kf_valid[kf] and self.store.kf_valid[cand]:
+                        self.correct(kf, cand, S_cl, matched_pts)
+                        self.last_loop_kf = kf_count
+                        self.n_loops_closed += 1
+            finally:
+                if self.mapping_worker is not None:
+                    self.mapping_worker.release()
+            if self.on_corrected is not None:
+                self.on_corrected()
         finally:
-            if self.mapping_worker is not None:
-                self.mapping_worker.release()
+            self.closing_active = False
         if self.run_global_ba:
             if self.mapping_worker is None:
                 # Cooperative/sync pipeline: chunked GBA on this thread,
@@ -460,6 +484,18 @@ class LoopCloser:
         S_cw_corr = (S_cl @ T_lw).astype(np.float32)  # Sim3 world -> current
 
         group = [kf] + [int(k) for k in st.covisible_keyframes(kf, min_weight=15)]
+        # Every keyframe NEWER than the closing one joins the corrected
+        # group: the cooperative Sim3 evaluation spans a few frames, and a
+        # keyframe created in that window lives in the current (pre-
+        # correction) neighborhood but may miss the >=15-covisibility walk —
+        # left uncorrected it ends up ~300 px inconsistent once the map
+        # moves (the reference cannot create keyframes during CorrectLoop at
+        # all: insertion is gated on the stopped mapper, Tracking.cc:719).
+        seq_kf = int(st.kf_seq[kf])
+        for k in np.nonzero(st.kf_valid)[0]:
+            k = int(k)
+            if int(st.kf_seq[k]) > seq_kf and k not in group:
+                group.append(k)
         old_T = {i: st.kf_T[i].copy() for i in group}
         corr_S = {}
         T_cur = st.kf_T[kf]

@@ -96,9 +96,11 @@ class System:
         self.loop_closer = LoopCloser(
             cfg=self.cfg, store=self.store, db=self.db, lock=self.lock,
             on_map_updated=self._publish_after_gba, timer=self.timer,
+            on_corrected=self._after_loop_correction,
         )
         self.mapper.on_cull_keyframe = self.db.erase
         self.mapper.protected_kf_fn = lambda: self.tracker.ref_kf
+        self.tracker.loop_closing_active = lambda: self.loop_closer.closing_active
         self.tracker.on_reset = self._on_reset
         # Distributed solver backend (configs 4-5).
         if self.distributed is not False:
@@ -243,6 +245,14 @@ class System:
                 if not self.store.kf_valid[kf]:
                     return
                 self.store.materialize_keyframe(kf, *unpack_host(pack))
+                # Re-publish the static feature row from the now-complete
+                # host arrays: a wholesale mirror.refresh() while this
+                # keyframe was pending (e.g. a loop correction) clobbered
+                # its device-published row with the store's zeros, and the
+                # static rows are outside the dynamic diff set — a zeroed
+                # row reads as keypoints at pixel (0,0) and teleported the
+                # keyframe in its own local BA.
+                self.mirror.insert_keyframe_row(kf)
                 # Normal/scale/descriptor refresh for the points this
                 # keyframe observes (ProcessNewKeyFrame, LocalMapping.cc:
                 # 134-147) — deferred here together with the arrays it needs.
@@ -259,6 +269,29 @@ class System:
     def _publish_after_gba(self):
         with self.lock:
             self.mirror.refresh_dynamic()
+
+    def _after_loop_correction(self):
+        """Re-anchor the tracker after a loop correction moved the world
+        (cooperative mode; the reference's tracker blocks on the map-update
+        mutex during CorrectLoop, so it never observes the jump mid-chain):
+        publish the corrected map, drop in-flight frames whose pose chain is
+        anchored in the pre-correction world, and remap the last frame's
+        pose through its reference keyframe's corrected pose."""
+        with self.lock:
+            self.mirror.refresh()
+            tr = self.tracker
+            tr._pending.clear()
+            tr._chain = None
+            tr.velocity = None
+            tr._prev_Tcw = None
+            if tr.last is not None and tr.trajectory:
+                ts, fid, ref, seq, T_rel, _ = tr.trajectory[-1]
+                if (fid == tr.last.frame_id and ref >= 0
+                        and self.store.kf_valid[ref]
+                        and self.store.kf_seq[ref] == seq):
+                    tr.last.Tcw = (T_rel @ self.store.kf_T[ref]).astype(
+                        np.float32
+                    )
 
     def _loop_process(self, kf: int):
         if not self.enable_mapping:
@@ -318,12 +351,19 @@ class System:
         )
         jax.block_until_ready(out["packed"])
 
-        # Initialization path.
+        # Initialization path: bootstrap + the success-path programs
+        # (median depth, mirror keyframe-row insert — both first hit inside
+        # _create_initial_map otherwise, stalling the first init seconds).
         import jax.random as jrandom
 
         jax.block_until_ready(
             tk.bootstrap(frame, frame, self.tracker._K, jrandom.PRNGKey(0))[1].T21
         )
+        jax.block_until_ready(tk.compute_median_depth(
+            eye, mir.pt_xyz, mir.pt_valid
+        ))
+        self.mirror.insert_keyframe_row(0)  # store row 0 is zeros pre-init
+        self.mirror.refresh_dynamic()
 
         # Unfused local-map tracking (relocalization's polish path).
         import numpy as np_
@@ -655,8 +695,11 @@ class System:
         return out
 
     def frame_trajectory(self):
-        """[(timestamp, frame_id, Tcw)] for every tracked frame."""
-        return list(self.tracker.trajectory)
+        """[(timestamp, frame_id, Tcw)] for every tracked frame, re-anchored
+        through each frame's reference keyframe's current pose (loop/GBA
+        corrections apply retroactively — SaveTrajectoryTUM semantics)."""
+        with self.lock:
+            return self.tracker.frame_trajectory()
 
     def save_keyframe_trajectory_tum(self, path: str):
         """TUM format: 'timestamp tx ty tz qx qy qz qw' per keyframe."""

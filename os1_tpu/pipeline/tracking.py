@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..map.store import MapStore
-from ..optim import BAProblem, run_ba
+from ..optim import BAProblem
 from ..utils.profiling import StageTimer
 from . import tracking_kernels as tk
 from .config import SlamConfig
@@ -90,6 +90,10 @@ class Tracker:
     # SetAcceptKeyFrames / InterruptBA protocol, Tracking.cc:719,755):
     mapping_idle = None  # callable() -> bool | None (None = always idle)
     interrupt_ba = None  # callable() -> None | None
+    # callable() -> bool: True while a loop closure is in flight; keyframe
+    # insertion pauses (the reference's mapper-stopped gate, Tracking.cc:719
+    # — a keyframe created mid-closure is missed by the correction).
+    loop_closing_active = None
     # Localization-only mode (mbOnlyTracking): the map is frozen — no
     # keyframes, no observations, no point stats are written
     # (Tracking.cc:699-700 gates NeedNewKeyFrame).
@@ -140,7 +144,47 @@ class Tracker:
         return self.state, Tcw
 
     def _record_trajectory(self, timestamp, fid, Tcw):
-        self.trajectory.append((timestamp, fid, Tcw.copy()))
+        """Record the frame pose RELATIVE to the current reference keyframe
+        (the reference's mlRelativeFramePoses + reference-KF list,
+        System.cc SaveTrajectoryTUM): loop corrections / GBA / local BA
+        then retroactively correct the whole trajectory through the live
+        keyframe poses at read time."""
+        st = self.store
+        ref = self.ref_kf
+        if ref >= 0 and st.kf_valid[ref]:
+            T_rel = (Tcw @ np.linalg.inv(st.kf_T[ref])).astype(np.float32)
+            self.trajectory.append(
+                (timestamp, fid, int(ref), int(st.kf_seq[ref]), T_rel,
+                 Tcw.copy())
+            )
+        else:
+            self.trajectory.append((timestamp, fid, -1, -1, None, Tcw.copy()))
+
+    def frame_trajectory(self):
+        """[(timestamp, frame_id, Tcw)] with every pose re-anchored through
+        its reference keyframe's CURRENT pose (retroactive corrections).
+        Culled references are walked to a live ancestor through the saved
+        relative poses (SaveTrajectoryTUM's while(pKF->isBad()) Trw *= mTcp
+        walk); only a fully dead chain falls back to the recorded pose."""
+        st = self.store
+        out = []
+        for ts, fid, ref, seq, T_rel, T_abs in self.trajectory:
+            T = None
+            if ref >= 0:
+                T_acc = T_rel
+                r, s = ref, seq
+                for _ in range(256):  # bounded ancestor walk
+                    if st.kf_valid[r] and st.kf_seq[r] == s:
+                        T = T_acc @ st.kf_T[r]
+                        break
+                    link = st.culled_links.get((r, s))
+                    if link is None:
+                        break
+                    p, pseq, T_cp = link
+                    T_acc = T_acc @ T_cp
+                    r, s = p, pseq
+            out.append((ts, fid, T if T is not None else T_abs))
+        return out
 
     @property
     def last_init_match(self):
@@ -155,21 +199,27 @@ class Tracker:
     # initialization (Tracking.cc:344-521)
     # ------------------------------------------------------------------ #
     def _monocular_initialization(self, frame, fid, timestamp):
-        from ..utils.transfer import fetch
+        """Two-view bootstrap FSM with ONE device sync per attempt: the
+        bootstrap head carries both frames' feature counts, the match count
+        and the model-acceptance flag, so every host decision below reads a
+        single announced buffer (each blocking sync costs ~30-40 ms on the
+        tunneled transport). The reference's per-frame keypoint-count gate
+        (Tracking.cc:353-360) is evaluated one frame deferred: the
+        reference frame is adopted optimistically and replaced if the head
+        shows it was feature-poor."""
+        from ..utils.transfer import announce
 
-        n_valid = int(fetch(frame.feats.valid).sum())
-        if self.init_ref is None or n_valid <= self.cfg.th.min_init_matches:
-            if n_valid > self.cfg.th.min_init_matches:
-                self.init_ref = TrackedFrame(
-                    data=frame, Tcw=np.eye(4, dtype=np.float32),
-                    bind=np.full(self.cfg.orb.n_features, -1, np.int64),
-                    frame_id=fid, timestamp=timestamp,
-                    octave=np.asarray(frame.feats.octave),
-                )
-                self.state = TrackingState.NOT_INITIALIZED
+        def adopt_ref():
+            self.init_ref = TrackedFrame(
+                data=frame, Tcw=np.eye(4, dtype=np.float32),
+                bind=np.full(self.cfg.orb.n_features, -1, np.int64),
+                frame_id=fid, timestamp=timestamp, octave=None,
+            )
+            self.state = TrackingState.NOT_INITIALIZED
+
+        if self.init_ref is None:
+            adopt_ref()  # validated by the next attempt's head
             return
-
-        from ..utils.transfer import announce, fetch
 
         self._key, sub = jax.random.split(self._key)
         match, init, head = tk.bootstrap(self.init_ref.data, frame, self._K, sub)
@@ -180,11 +230,19 @@ class Tracker:
         self._init_match_dev = (match.ok, match.idx)
         self._init_cur_frame = frame
         head = np.asarray(head)
-        n_matches = int(head[0])
-        if n_matches < self.cfg.th.min_init_matches:
+        min_m = self.cfg.th.min_init_matches
+        if head[0] <= min_m:  # reference frame was feature-poor: replace
+            if head[1] > min_m:
+                adopt_ref()
+            else:
+                self.init_ref = None
+            return
+        if head[1] <= min_m:  # current frame feature-poor: keep waiting
+            return
+        if int(head[2]) < min_m:  # n_matches
             self.init_ref = None  # retry with a fresh reference
             return
-        if head[1] < 0.5:  # init.success
+        if head[3] < 0.5:  # init.success
             return
 
         self._create_initial_map(frame, fid, timestamp, match, init)
@@ -264,30 +322,57 @@ class Tracker:
             self.on_new_keyframe(k2, bootstrap=True)
 
     def _initial_ba(self, k1, k2, pt_ids):
+        """Initial two-view BA (Tracking.cc:470) assembled into the SAME
+        padded (P, C) bucket + chunked-LM programs the local mapper warms:
+        an exact-shape problem recompiled here on every initialization
+        (~40 s on the tunneled TPU — point counts differ per attempt)."""
+        from .local_mapping import (
+            C_BUCKETS, P_BUCKETS, _ba_begin_j, _ba_iterate_j, _ba_result_j,
+        )
+        from ..utils.transfer import fetch
+
         st = self.store
         P = len(pt_ids)
+        P_pad = next(b for b in P_BUCKETS if b >= P)
+        C_pad = C_BUCKETS[0]
+        M = st.cfg.max_obs_per_point
         okf = st.pt_obs_kf[pt_ids]  # [P, M]
         oft = st.pt_obs_feat[pt_ids]
-        obs_valid = okf >= 0
         okf_c = np.clip(okf, 0, None)
         oft_c = np.clip(oft, 0, None)
-        obs_cam = np.where(okf_c == k2, 1, 0).astype(np.int32)
-        obs_uv = st.kf_xy[okf_c, oft_c]
-        obs_s2 = self.cfg.sigma2_table[st.kf_octave[okf_c, oft_c]].astype(np.float32)
+        obs_valid = np.zeros((P_pad, M), bool)
+        obs_cam = np.zeros((P_pad, M), np.int32)
+        obs_uv = np.zeros((P_pad, M, 2), np.float32)
+        obs_s2 = np.ones((P_pad, M), np.float32)
+        obs_valid[:P] = okf >= 0
+        obs_cam[:P] = np.where(okf_c == k2, 1, 0)
+        obs_uv[:P] = st.kf_xy[okf_c, oft_c]
+        obs_s2[:P] = self.cfg.sigma2_table[st.kf_octave[okf_c, oft_c]]
+        cam_T = np.tile(np.eye(4, dtype=np.float32), (C_pad, 1, 1))
+        cam_T[0], cam_T[1] = st.kf_T[k1], st.kf_T[k2]
+        fixed = np.ones(C_pad, bool)
+        fixed[1] = False
+        points = np.zeros((P_pad, 3), np.float32)
+        points[:P] = st.pt_xyz[pt_ids]
+        pvalid = np.zeros(P_pad, bool)
+        pvalid[:P] = True
         prob = BAProblem(
-            cam_T=jnp.asarray(np.stack([st.kf_T[k1], st.kf_T[k2]])),
-            cam_fixed=jnp.asarray([True, False]),
-            points=jnp.asarray(st.pt_xyz[pt_ids]),
-            point_valid=jnp.ones(P, bool),
+            cam_T=jnp.asarray(cam_T),
+            cam_fixed=jnp.asarray(fixed),
+            points=jnp.asarray(points),
+            point_valid=jnp.asarray(pvalid),
             obs_cam=jnp.asarray(obs_cam),
             obs_uv=jnp.asarray(obs_uv),
             obs_sigma2=jnp.asarray(obs_s2),
             obs_valid=jnp.asarray(obs_valid),
             intr=self._intr,
         )
-        res = run_ba(prob, iters=20)
+        state = _ba_begin_j(prob)
+        for _ in range(4):  # 20 LM iterations (GlobalBundleAdjustemnt(20))
+            state = _ba_iterate_j(prob, state, n=5)
+        res = fetch(_ba_result_j(prob, state))
         st.kf_T[k2] = np.asarray(res.cam_T[1])
-        st.pt_xyz[pt_ids] = np.asarray(res.points)
+        st.pt_xyz[pt_ids] = np.asarray(res.points)[:P]
 
     # ------------------------------------------------------------------ #
     # steady-state tracking (Tracking.cc:231-342)
@@ -715,6 +800,9 @@ class Tracker:
             cos_th = float(np.cos(np.deg2rad(th.kf_view_angle_deg)))
             c4 = float(np.dot(z_cur, z_ref)) < cos_th
         if not (c1 or c2 or c3 or c4):
+            return False
+        # A closure in flight pauses insertion (see loop_closing_active).
+        if self.loop_closing_active is not None and self.loop_closing_active():
             return False
         # Backpressure (Tracking.cc:719,749-760): monocular keyframes are
         # only inserted when local mapping is idle; otherwise interrupt the

@@ -157,8 +157,15 @@ def make_fused_tracker(cfg: SlamConfig):
         pred_T = jnp.where(has_velocity, (last_T @ prev_inv) @ last_T, last_T)
 
         # ---------------- stage 1: motion-model tracking ---------------- #
+        # Runs whenever the previous frame carries verified binds, even with
+        # no velocity yet (pred_T falls back to last_T above): the frame
+        # right after relocalization/initialization has ~50+ verified
+        # matches, and projecting THOSE with a zero-motion window is far
+        # stronger than the refkf descriptor fallback (which collapsed to
+        # ~6 matches on repetitive real textures and re-lost the track —
+        # the post-reloc thrash signature).
         m_ids = jnp.clip(last_bind, 0, P - 1)
-        m_live = (last_bind >= 0) & pt_valid[m_ids] & has_velocity
+        m_live = (last_bind >= 0) & pt_valid[m_ids]
         m_xyz = pt_xyz[m_ids]
         no_prev = jnp.zeros(n_feat, bool)
         zeros3 = jnp.zeros((n_feat, 3), jnp.float32)

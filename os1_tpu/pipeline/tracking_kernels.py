@@ -193,10 +193,13 @@ def bootstrap(
     xy2 = f2.xy_un[jnp.clip(match.idx, 0, None)]
     init = initialize_two_view(xy1, xy2, match.ok, K, key)
     # Scalar head packed IN the program: the host's accept gates
-    # (n_matches, success) read one tiny announced buffer instead of
-    # dispatching follow-up reductions and cold-reading them (~130 ms of
-    # transport round trips per attempt on the tunneled TPU).
+    # (feature counts, n_matches, success) read one tiny announced buffer
+    # instead of dispatching follow-up reductions and cold-reading them —
+    # every blocking sync on the tunneled TPU costs ~30-40 ms, so the whole
+    # per-attempt decision must fit in ONE.
     head = jnp.stack([
+        jnp.sum(f1.feats.valid).astype(jnp.float32),
+        jnp.sum(f2.feats.valid).astype(jnp.float32),
         jnp.sum(match.ok).astype(jnp.float32),
         init.success.astype(jnp.float32),
     ])
@@ -564,6 +567,7 @@ def assemble_ba_mirror(
     pt_obs_feat: jnp.ndarray,  # [P, M] i32
     kf_xy: jnp.ndarray,  # [K, N, 2]
     kf_octave: jnp.ndarray,  # [K, N] i32
+    kf_feat_valid: jnp.ndarray,  # [K, N] bool (False = not materialized)
     # small host uploads (~10 KB total)
     pts_idx: jnp.ndarray,  # [P_BA] i32 point slots (padded; pvalid masks)
     pvalid: jnp.ndarray,  # [P_BA] bool
@@ -577,13 +581,17 @@ def assemble_ba_mirror(
     Replaces the ~600 KB host upload per local BA (obs_uv/sigma2/cam/valid
     tables) with device gathers over the mirrored observation index tables
     — the host sends only the point-slot list, poses, and the camera slot
-    lookup. Returns (obs_cam, obs_uv, obs_sigma2, obs_valid, points)."""
+    lookup. Observations in not-yet-materialized keyframes (kf_feat_valid
+    False — their kf_xy rows are zeros) are excluded, or they read as
+    measurements at pixel (0,0). Returns (obs_cam, obs_uv, obs_sigma2,
+    obs_valid, points)."""
     okf = pt_obs_kf[pts_idx]  # [P_BA, M]
     oft = pt_obs_feat[pts_idx]
     okf_c = jnp.clip(okf, 0, kf_xy.shape[0] - 1)
     oft_c = jnp.clip(oft, 0, kf_xy.shape[1] - 1)
     slots = cam_lookup[okf_c]
-    valid = (okf >= 0) & (slots >= 0) & pvalid[:, None]
+    valid = ((okf >= 0) & (slots >= 0) & pvalid[:, None]
+             & kf_feat_valid[okf_c, oft_c])
     obs_cam = jnp.where(valid, slots, 0).astype(jnp.int32)
     obs_uv = jnp.where(valid[..., None], kf_xy[okf_c, oft_c], 0.0)
     obs_s2 = jnp.where(valid, sigma2_table[kf_octave[okf_c, oft_c]], 1.0)
